@@ -1,0 +1,98 @@
+"""Simulation configuration.
+
+The CUDA reference hardcodes every parameter as a compile-time ``#define``
+(reference: nbody_v5.cu:15-21, nbody_v5.cu:34; README.md:62-68).  Here they
+live in a hashable dataclass so a config can be a static argument to
+``jax.jit`` — changing a parameter triggers a recompile, exactly like
+recompiling the CUDA binary, but from Python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """All knobs of the simulation.
+
+    Defaults mirror the reference constants (nbody_v5.cu:15-21):
+    THREADS_PER_BLOCK is a GPU notion and has no equivalent; its TPU analog
+    is ``force_tile`` (particles per traversal tile).
+    """
+
+    # --- workload ---
+    n: int = 500_000               # particle count (nbody_v5.cu:34)
+    # --- physics (nbody_v5.cu:16-21) ---
+    g: float = 0.5                 # G_CONST
+    theta: float = 0.5             # THETA — Barnes-Hut opening angle
+    dt: float = 0.02               # DT
+    softening: float = 50.0        # SOFTENING, added to the *squared* distance
+                                   # (v5 semantics, nbody_v5.cu:231); the
+                                   # legacy nbody_bh used softening^2 — set
+                                   # `legacy_softening=True` for that.
+    max_speed: float = 500.0       # MAX_SPEED clamp (nbody_v5.cu:262-269)
+    damping: float = 1.0           # DAMPING (defined but disabled in v5)
+    legacy_softening: bool = False # use d^2 + softening^2 (basics.txt:104)
+    clamp_speed: bool = True       # v5 clamps; legacy nbody_bh does not
+    # --- tree / traversal ---
+    morton_bits: int = 30          # 30-bit (v5) or 63-bit (legacy) codes
+    force_tile: int = 256          # particles per force group (B)
+    near_cap: int = 96             # max MAC-failing source groups per
+                                   # target group (overflow is flagged)
+    use_pallas: bool = True        # Pallas force kernels vs pure-jnp
+    # --- initial conditions (nbody_v5.cu:395-414) ---
+    seed: int = 42
+    ic_kind: str = "disk_galaxy"   # "disk_galaxy" (v5) | "legacy_disk"
+                                   # (basics.txt:146-150) | "uniform_cube"
+    ic_rng: str = "msvc_rand"      # "msvc_rand" (bit-parity with srand(42)
+                                   # C rand() on Windows) | "jax"
+    # --- parallelism ---
+    mesh_shape: Tuple[int, ...] = ()   # () = single device
+    # --- render (nbody_v5.cu:35-36, 385-389, 470-473) ---
+    render_width: int = 1280
+    render_height: int = 720
+    cam_distance: float = 4000.0
+    cam_rot_x: float = 30.0
+    cam_rot_y: float = 45.0
+    fov_deg: float = 45.0
+
+    def __post_init__(self):
+        if self.n <= 0:
+            raise ValueError(f"n must be positive, got {self.n}")
+        if self.morton_bits not in (30, 63):
+            raise ValueError("morton_bits must be 30 or 63")
+
+    @property
+    def n_groups(self) -> int:
+        """Force groups after padding to a force_tile multiple."""
+        return -(-self.n // self.force_tile)
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# Workload presets mirroring the reference's four program generations
+# (SURVEY.md §2.1) plus the driver's benchmark configs (BASELINE.json).
+PRESETS = {
+    # nbody_simple: direct all-pairs O(N^2), CPU-runnable oracle size.
+    "simple": SimConfig(n=4096),
+    # nbody_bh legacy golden-file workload (output_bh.txt:1-4).
+    "bh_legacy": SimConfig(
+        n=10_000, theta=0.5, dt=0.03, morton_bits=63,
+        legacy_softening=True, clamp_speed=False, ic_kind="legacy_disk",
+    ),
+    # nbody_v5 interactive (nbody_v5.cu:34).
+    "v5": SimConfig(n=500_000),
+    # nbody_v5_bench at README/binary N (README.md:23).
+    "v5_bench": SimConfig(n=1_000_000),
+    # BASELINE config 2.
+    "bh_100k": SimConfig(n=100_000),
+    # BASELINE config 5: multi-chip.
+    "sharded_4m": SimConfig(n=4_000_000, mesh_shape=(8,)),
+}

@@ -1,0 +1,142 @@
+"""Multi-chip Barnes-Hut via shard_map over a 1-D device mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.3): no NCCL/MPI, no
+multi-device story of any kind.  This module is the new capability that
+lets the same physics scale across a TPU slice (BASELINE config 5:
+N=4M over v5e-8).
+
+Decomposition (round 1):
+  * particles are sharded along N ("bodies" mesh axis);
+  * positions+masses are all-gathered over ICI; the cheap dense phases
+    (bbox, Morton sort, group monopoles, near lists) run replicated —
+    they are O(N) with small constants vs the force sweep's O(N * G);
+  * each chip evaluates the far monopole sweep and near P2P corrections
+    ONLY for its contiguous slab of target groups — exactly 1/D of the
+    dominant dense work;
+  * one all_gather re-assembles the accelerations; integration is
+    shard-local.
+
+The all-gathers ride ICI (4M particles x 16 B = 64 MB per step over
+~100+ GB/s links).  A locality-aware variant (shard-local sort +
+exchanged group tables only) is the planned round-2 upgrade; the API
+here won't change.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nbody_tpu.config import SimConfig
+from nbody_tpu.state import ParticleState
+from nbody_tpu.ops import bbox, morton, forces, integrate as integ
+
+AXIS = "bodies"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    import numpy as np
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def _local_bh_step(pos, vel, mass, acc, cfg: SimConfig):
+    """Body of the shard_map: args are the LOCAL shard [N/D, ...].
+
+    Replicated cheap phases (bbox, Morton, sort, group monopoles, near
+    lists — all O(N) dense ops), sharded expensive phase: chip `me`
+    evaluates the far sweep and near corrections only for ITS contiguous
+    slab of the sorted order (exactly 1/D of the dense work), then acc
+    slabs are re-assembled with one all_gather.
+    """
+    pos_g = jax.lax.all_gather(pos, AXIS).reshape(-1, 3)
+    mass_g = jax.lax.all_gather(mass, AXIS).reshape(-1)
+
+    lo, size = bbox.bounding_cube(pos_g)
+    codes = morton.encode30(pos_g, lo, size)
+    codes_s, perm = morton.morton_sort_30(codes)
+    pos_s = pos_g[perm]
+    mass_s = mass_g[perm]
+
+    d = jax.lax.axis_size(AXIS)
+    me = jax.lax.axis_index(AXIS)
+    n_total = pos_g.shape[0]
+    n_local = n_total // d
+
+    groups = forces.make_group_info(pos_s, mass_s, cfg)
+    near_idx, near_cnt, _ = forces.near_group_lists(groups, cfg)
+
+    # my slab of targets (contiguous groups => contiguous particles)
+    t_total = n_total // cfg.force_tile
+    t_local = t_total // d
+    start_p = me * (t_local * cfg.force_tile)
+    my_pos = jax.lax.dynamic_slice_in_dim(pos_s, start_p, t_local * cfg.force_tile, 0)
+    my_near = jax.lax.dynamic_slice_in_dim(near_idx, me * t_local, t_local, 0)
+    my_cnt = jax.lax.dynamic_slice_in_dim(near_cnt, me * t_local, t_local, 0)
+
+    if cfg.use_pallas:
+        from nbody_tpu.ops.pallas.forces import far_sweep_pallas, near_correction_pallas
+
+        far = far_sweep_pallas(my_pos, groups, cfg)
+        corr = near_correction_pallas(
+            my_pos, pos_s, mass_s, groups, my_near, my_cnt, cfg
+        )
+    else:
+        far = forces.far_sweep_jnp(my_pos, groups, cfg)
+        corr = forces.near_correction_jnp(my_pos, pos_s, mass_s, groups, my_near, cfg)
+    acc_slab = far + corr
+
+    # Re-assemble sorted acc and route back to original sharded order.
+    acc_s = jax.lax.all_gather(acc_slab, AXIS).reshape(-1, 3)
+    acc_orig = jnp.zeros_like(acc_s).at[perm].set(acc_s)
+    my_acc = jax.lax.dynamic_slice_in_dim(acc_orig, me * n_local, n_local, 0)
+
+    state_l = ParticleState(pos=pos, vel=vel, mass=mass, acc=acc)
+    new = integ.integrate(state_l, my_acc, cfg)
+    return new.pos, new.vel, new.mass, new.acc
+
+
+def make_sharded_step(cfg: SimConfig, mesh: Mesh):
+    """Jitted multi-chip step: ParticleState sharded along N -> same."""
+    d = mesh.devices.size
+    if cfg.n % (d * cfg.force_tile):
+        raise ValueError(
+            f"n={cfg.n} must be a multiple of n_devices*force_tile="
+            f"{d * cfg.force_tile} for the sharded step"
+        )
+
+    fn = shard_map(
+        functools.partial(_local_bh_step, cfg=cfg),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: ParticleState) -> ParticleState:
+        pos, vel, mass, acc = fn(state.pos, state.vel, state.mass, state.acc)
+        return ParticleState(pos=pos, vel=vel, mass=mass, acc=acc)
+
+    return step
+
+
+def shard_state(state: ParticleState, mesh: Mesh) -> ParticleState:
+    """Place a host state onto the mesh, sharded along N."""
+    from jax.sharding import NamedSharding
+
+    sh_n = NamedSharding(mesh, P(AXIS))
+    return ParticleState(
+        pos=jax.device_put(state.pos, sh_n),
+        vel=jax.device_put(state.vel, sh_n),
+        mass=jax.device_put(state.mass, sh_n),
+        acc=jax.device_put(state.acc, sh_n),
+    )

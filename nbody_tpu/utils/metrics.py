@@ -1,0 +1,86 @@
+"""Physics metrics and conservation diagnostics.
+
+The reference's only "observability" is printf: final bounding box and
+total kinetic energy (format strings in nbody_simple.exe / nbody_bh.exe,
+SURVEY.md §5).  We provide those plus potential energy, momentum, and the
+energy-drift metric BASELINE.json names as the physics north star.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nbody_tpu.config import SimConfig
+from nbody_tpu.state import ParticleState
+from nbody_tpu.ops.forces import soft_term
+
+
+def kinetic_energy(state: ParticleState) -> jax.Array:
+    """KE = 1/2 sum m |v|^2 — the legacy binaries print this as
+    'Total kinetic energy: %.2e'."""
+    return 0.5 * jnp.sum(state.mass * jnp.sum(state.vel**2, axis=1))
+
+
+def potential_energy(state: ParticleState, cfg: SimConfig, block: int = 1024) -> jax.Array:
+    """PE = -G sum_{i<j} m_i m_j / sqrt(|r_ij|^2 + soft), consistent with
+    the softened force law.  O(N^2), blocked; intended for diagnostics at
+    moderate N or on subsamples."""
+    pos, mass = state.pos, state.mass
+    n = pos.shape[0]
+    g, soft = cfg.g, soft_term(cfg)
+    n_pad = -(-n // block) * block
+    pos_p = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
+    mass_p = jnp.pad(mass, (0, n_pad - n))
+
+    def panel(args):
+        pb, mb = args  # [B,3], [B]
+        dx = pos[None, :, 0] - pb[:, None, 0]
+        dy = pos[None, :, 1] - pb[:, None, 1]
+        dz = pos[None, :, 2] - pb[:, None, 2]
+        d2 = dx * dx + dy * dy + dz * dz
+        inv = lax.rsqrt(d2 + soft)
+        # self-pairs have d2=0 -> 1/sqrt(soft); subtract them afterwards
+        return jnp.sum(mb[:, None] * mass[None, :] * inv)
+
+    total = jnp.sum(
+        lax.map(panel, (pos_p.reshape(-1, block, 3), mass_p.reshape(-1, block)))
+    )
+    self_term = jnp.sum(mass * mass) * lax.rsqrt(jnp.asarray(soft, jnp.float32))
+    return -0.5 * g * (total - self_term)
+
+
+def momentum(state: ParticleState) -> jax.Array:
+    return jnp.sum(state.mass[:, None] * state.vel, axis=0)
+
+
+def bounding_box(state: ParticleState):
+    return jnp.min(state.pos, axis=0), jnp.max(state.pos, axis=0)
+
+
+def total_energy(state: ParticleState, cfg: SimConfig) -> jax.Array:
+    return kinetic_energy(state) + potential_energy(state, cfg)
+
+
+def energy_drift(e0: float, e1: float) -> float:
+    """Relative drift |E1 - E0| / |E0| — the BASELINE.json criterion."""
+    return abs(e1 - e0) / max(abs(e0), 1e-30)
+
+
+def summary(state: ParticleState, cfg: SimConfig, with_pe: bool = True) -> Dict[str, float]:
+    lo, hi = bounding_box(state)
+    out = {
+        "ke": float(kinetic_energy(state)),
+        "px": float(momentum(state)[0]),
+        "py": float(momentum(state)[1]),
+        "pz": float(momentum(state)[2]),
+        "bbox_min": [float(x) for x in lo],
+        "bbox_max": [float(x) for x in hi],
+    }
+    if with_pe:
+        out["pe"] = float(potential_energy(state, cfg))
+        out["e_total"] = out["ke"] + out["pe"]
+    return out

@@ -1,0 +1,142 @@
+"""Benchmark harness: per-frame and per-phase timing.
+
+Rebuilds the nbody_v5_bench measurement loop (nbody_v5_bench.cu:346-366):
+cudaEvent timing around each simulationStep and a `Frame | ms | FPS` table
+become wall-clock timing around a jitted step with block_until_ready.
+Per-phase timing (the README's advertised 'octree construction / force
+calculation / update' breakdown, README.md:56-60) comes from separately
+jitted pipeline stages.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.config import SimConfig
+from nbody_tpu.state import ParticleState
+
+
+def _sync(x) -> None:
+    """Force completion with a host readback.
+
+    jax.block_until_ready is not a reliable barrier on every platform
+    plugin (the tunnelled TPU relay acks before execution finishes);
+    reading one element back to the host is.
+    """
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    _ = leaf.ravel()[0].item()
+
+
+def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> Dict[str, float]:
+    """Median/mean wall ms of fn(*args) with full device sync per call."""
+    for _ in range(warmup):
+        _sync(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        times.append((time.perf_counter() - t0) * 1e3)
+    times.sort()
+    return {
+        "median_ms": times[len(times) // 2],
+        "mean_ms": sum(times) / len(times),
+        "min_ms": times[0],
+        "max_ms": times[-1],
+    }
+
+
+def frame_table(
+    step_fn: Callable[[ParticleState], ParticleState],
+    state: ParticleState,
+    n_frames: int,
+    print_every: int = 1,
+    printer=print,
+) -> List[Dict[str, float]]:
+    """The reference bench loop: per-frame ms + FPS, one sync per frame
+    (the analog of cudaEventSynchronize, nbody_v5_bench.cu:360)."""
+    rows = []
+    printer(f"{'Frame':<10} | {'Time (ms)':<15} | {'FPS':<10}")
+    printer("-" * 42)
+    for frame in range(n_frames):
+        t0 = time.perf_counter()
+        state = step_fn(state)
+        _sync(state)
+        ms = (time.perf_counter() - t0) * 1e3
+        fps = 1000.0 / ms if ms > 0 else float("inf")
+        rows.append({"frame": frame, "ms": ms, "fps": fps})
+        if print_every and frame % print_every == 0:
+            printer(f"{frame:<10} | {ms:<15.3f} | {fps:<10.1f}")
+    return rows
+
+
+def phase_times(state: ParticleState, cfg: SimConfig, iters: int = 10) -> Dict[str, float]:
+    """Per-phase median ms: bbox+morton+sort / tree build / list build /
+    force eval / integrate.  Phases are jitted separately, so totals will
+    slightly exceed the fused step (which is the point of fusing)."""
+    from nbody_tpu.ops import bbox, morton, forces, integrate as integ
+    from nbody_tpu.ops.tree import build_tree
+
+    pos, mass = state.pos, state.mass
+
+    @jax.jit
+    def ph_sort(pos):
+        lo, size = bbox.bounding_cube(pos)
+        codes = morton.encode30(pos, lo, size)
+        codes_s, perm = morton.morton_sort_30(codes)
+        return codes_s, perm, size
+
+    codes_s, perm, size = jax.block_until_ready(ph_sort(pos))
+    pos_s, mass_s = pos[perm], mass[perm]
+
+    @jax.jit
+    def ph_tree(codes_s, pos_s, mass_s, size):
+        return build_tree(codes_s, pos_s, mass_s, size)
+
+    pos_p, mass_p = forces.pad_to_groups(pos_s, mass_s, cfg.force_tile)
+
+    @jax.jit
+    def ph_groups(pos_p, mass_p):
+        gi = forces.make_group_info(pos_p, mass_p, cfg)
+        return gi, forces.near_group_lists(gi, cfg)
+
+    (groups, (near_idx, near_cnt, _)) = jax.block_until_ready(ph_groups(pos_p, mass_p))
+
+    if cfg.use_pallas:
+        from nbody_tpu.ops.pallas.forces import far_sweep_pallas, near_correction_pallas
+
+        far_fn = far_sweep_pallas
+        near_fn = near_correction_pallas
+    else:
+        far_fn = forces.far_sweep_jnp
+        near_fn = lambda tp, sp, sm, gi, ni, nc, c: forces.near_correction_jnp(
+            tp, sp, sm, gi, ni, c
+        )
+
+    @jax.jit
+    def ph_far(pos_p, groups):
+        return far_fn(pos_p, groups, cfg)
+
+    @jax.jit
+    def ph_near(pos_p, mass_p, groups, near_idx, near_cnt):
+        return near_fn(pos_p, pos_p, mass_p, groups, near_idx, near_cnt, cfg)
+
+    acc_s = jax.block_until_ready(
+        ph_far(pos_p, groups) + ph_near(pos_p, mass_p, groups, near_idx, near_cnt)
+    )[: pos.shape[0]]
+
+    @jax.jit
+    def ph_integrate(state, acc):
+        return integ.integrate(state, acc, cfg)
+
+    return {
+        "sort_ms": time_fn(ph_sort, pos, iters=iters)["median_ms"],
+        "tree_ms": time_fn(ph_tree, codes_s, pos_s, mass_s, size, iters=iters)["median_ms"],
+        "groups_ms": time_fn(ph_groups, pos_p, mass_p, iters=iters)["median_ms"],
+        "far_ms": time_fn(ph_far, pos_p, groups, iters=iters)["median_ms"],
+        "near_ms": time_fn(ph_near, pos_p, mass_p, groups, near_idx, near_cnt, iters=iters)["median_ms"],
+        "integrate_ms": time_fn(ph_integrate, state, acc_s, iters=iters)["median_ms"],
+    }

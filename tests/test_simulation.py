@@ -1,0 +1,115 @@
+"""End-to-end pipeline tests: integration semantics, physics sanity
+(energy/momentum behavior), determinism, scan-loop equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nbody_tpu.config import SimConfig
+from nbody_tpu.state import ParticleState
+from nbody_tpu.init import uniform_cube, disk_galaxy_jax
+from nbody_tpu.models.simulation import Simulation, step_direct, step_barnes_hut
+from nbody_tpu.ops.integrate import integrate
+from nbody_tpu.utils import metrics
+
+
+def test_integrate_euler_cromer_order():
+    # velocity updates BEFORE position (nbody_v5.cu:258-275)
+    cfg = SimConfig(n=1, dt=0.5, clamp_speed=False)
+    s = ParticleState.create(
+        pos=[[0.0, 0.0, 0.0]], vel=[[1.0, 0.0, 0.0]], mass=[1.0]
+    )
+    acc = jnp.asarray([[2.0, 0.0, 0.0]])
+    out = integrate(s, acc, cfg)
+    # v' = 1 + 2*0.5 = 2 ; x' = 0 + v'*0.5 = 1 (NOT 0.5 as explicit Euler)
+    assert float(out.vel[0, 0]) == 2.0
+    assert float(out.pos[0, 0]) == 1.0
+
+
+def test_integrate_speed_clamp():
+    cfg = SimConfig(n=1, dt=1.0, max_speed=500.0)
+    s = ParticleState.create(pos=[[0.0] * 3], vel=[[0.0] * 3], mass=[1.0])
+    acc = jnp.asarray([[1e4, 0.0, 0.0]])
+    out = integrate(s, acc, cfg)
+    assert abs(float(jnp.linalg.norm(out.vel))) == pytest.approx(500.0, rel=1e-5)
+    cfg_off = cfg.replace(clamp_speed=False)
+    out2 = integrate(s, acc, cfg_off)
+    assert float(out2.vel[0, 0]) == pytest.approx(1e4)
+
+
+def test_two_body_circular_orbit():
+    # equal masses on a circular orbit stay at constant separation
+    cfg = SimConfig(n=2, g=1.0, softening=1e-6, dt=1e-3, clamp_speed=False)
+    m = 1.0
+    r = 1.0
+    # circular orbit about the barycenter: a = G m / r^2 = v^2 / (r/2)
+    # => v = sqrt(G m / (2 r))
+    v = np.sqrt(cfg.g * m / (2.0 * r))
+    s = ParticleState.create(
+        pos=[[-r / 2, 0, 0], [r / 2, 0, 0]],
+        vel=[[0, -v, 0], [0, v, 0]],
+        mass=[m, m],
+    )
+    sim = Simulation(cfg, method="direct")
+    out = sim.run_scan(s, 2000)
+    sep = float(jnp.linalg.norm(out.pos[1] - out.pos[0]))
+    assert sep == pytest.approx(r, rel=2e-3)
+
+
+def test_direct_energy_conservation_small():
+    cfg = SimConfig(n=128, dt=0.005, clamp_speed=False)
+    state = uniform_cube(128, seed=1, half=500.0)
+    sim = Simulation(cfg, method="direct")
+    e0 = float(metrics.total_energy(state, cfg))
+    out = sim.run_scan(state, 500)
+    e1 = float(metrics.total_energy(out, cfg))
+    assert metrics.energy_drift(e0, e1) < 0.02
+
+
+def test_bh_energy_drift_matches_direct():
+    # BH (theta=0.5) drift must stay close to the direct integrator's drift
+    n = 1024
+    cfg = SimConfig(n=n, dt=0.01, theta=0.5, force_tile=256,
+                    use_pallas=False, clamp_speed=False)
+    state = disk_galaxy_jax(n, seed=2, g=cfg.g)
+    e0 = float(metrics.total_energy(state, cfg))
+
+    sim_d = Simulation(cfg, method="direct")
+    sim_b = Simulation(cfg, method="barnes_hut")
+    out_d = sim_d.run_scan(state, 200)
+    out_b = sim_b.run_scan(state, 200)
+    drift_d = metrics.energy_drift(e0, float(metrics.total_energy(out_d, cfg)))
+    drift_b = metrics.energy_drift(e0, float(metrics.total_energy(out_b, cfg)))
+    assert drift_b < max(3.0 * drift_d, 0.02), (drift_b, drift_d)
+
+
+def test_momentum_conservation_direct():
+    cfg = SimConfig(n=256, dt=0.01, clamp_speed=False)
+    state = uniform_cube(256, seed=3)
+    sim = Simulation(cfg, method="direct")
+    out = sim.run_scan(state, 100)
+    p0 = np.asarray(metrics.momentum(state))
+    p1 = np.asarray(metrics.momentum(out))
+    # direct softened forces are exactly antisymmetric -> momentum conserved
+    np.testing.assert_allclose(p1, p0, atol=2e-2)
+
+
+def test_step_determinism():
+    cfg = SimConfig(n=512, force_tile=256, use_pallas=False)
+    state = disk_galaxy_jax(512, seed=4, g=cfg.g)
+    a = step_barnes_hut(state, cfg)
+    b = step_barnes_hut(state, cfg)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel))
+
+
+def test_run_scan_matches_run():
+    cfg = SimConfig(n=256, force_tile=256, use_pallas=False)
+    state = disk_galaxy_jax(256, seed=5, g=cfg.g)
+    sim = Simulation(cfg, method="barnes_hut")
+    out_loop = sim.run(state, 5)
+    out_scan = sim.run_scan(state, 5)
+    np.testing.assert_allclose(
+        np.asarray(out_loop.pos), np.asarray(out_scan.pos), rtol=1e-6, atol=1e-6
+    )
