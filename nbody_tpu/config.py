@@ -39,8 +39,10 @@ class SimConfig:
     # --- tree / traversal ---
     morton_bits: int = 30          # 30-bit (v5) or 63-bit (legacy) codes
     force_tile: int = 256          # particles per force group (B)
-    near_cap: int = 96             # max MAC-failing source groups per
-                                   # target group (overflow is flagged)
+    mid_cap: int = 192             # max mid-band (sub-monopole) source
+                                   # groups per target (overflow flagged)
+    near_cap: int = 96             # max near-band (exact P2P) source
+                                   # groups per target (overflow flagged)
     use_pallas: bool = True        # Pallas force kernels vs pure-jnp
     # --- initial conditions (nbody_v5.cu:395-414) ---
     seed: int = 42

@@ -1,0 +1,204 @@
+"""Adaptive octree source cells from sorted Morton codes — scan-only.
+
+The production force path groups SOURCE particles into cells of at most
+`force_tile` bodies.  Fixed-count Morton runs are cheap but straddle
+octree cell boundaries, so their bounding boxes (and those of their
+sub-runs) can be as wide as the whole domain — which blows up the
+multipole-acceptance near field.  This module instead computes the
+adaptive octree CUT: for every particle, the shallowest depth d at which
+its Morton cell holds <= B particles.  Cut cells are genuine octree cells,
+so their widths shrink with density and their children (depth d+1 cells)
+are ~half their size — exactly the property the mid band needs.
+
+Everything is built from cumulative scans over the SORTED code array —
+no O(N) gathers (XLA gather costs ~5-10 ns/element on TPU; scans cost
+~1 ns/element).  Per-depth cell boundaries for ALL 11 depths come from a
+single adjacent-XOR pass (boundary at depth d <=> shared code prefix of
+neighbors < 3d bits).  The reference builds the same structure by atomic
+insertion (nbody_v5.cu:98-156); this is the closed-form equivalent.
+
+Cells still denser than B at the maximum depth (heavy clustering below
+Morton resolution) are split into B-particle runs — inside one finest
+cell, so still spatially tight.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_I32 = jnp.int32
+MAX_DEPTH = 10  # 30-bit codes / 3 bits per level
+N_DEPTH = MAX_DEPTH + 1
+
+
+class SourceCells(NamedTuple):
+    """Adaptive cut cells (padded to a static capacity g_cap).
+
+    `child_*` hold each cell's <= 8 children (depth+1 cells, or B/8 runs
+    for cells at max depth) padded to 8 slots; the mid band refines
+    failing cells to these children.
+    """
+
+    first: jax.Array        # [Gc] int32 sorted-particle start (0 pad)
+    count: jax.Array        # [Gc] int32 particles in cell (0 pad)
+    com: jax.Array          # [Gc, 3]
+    gmass: jax.Array        # [Gc] G_CONST * mass (0 pad)
+    diam: jax.Array         # [Gc] max bbox extent (0 pad)
+    child_com: jax.Array    # [Gc, 8, 3]
+    child_gmass: jax.Array  # [Gc, 8] (0 for empty slots)
+    child_diam: jax.Array   # [Gc, 8]
+    child_diam_max: jax.Array  # [Gc] max over children
+    n_cells: jax.Array      # [] int32 actual cell count
+    overflow: jax.Array     # [] bool — cut larger than Gc
+
+
+def _seg_scan_minmax(x: jax.Array, boundary: jax.Array):
+    """Segmented running (min, max) of x [N, K], segments start where
+    boundary [N] is True; the LAST element of each segment holds the
+    segment's min/max."""
+
+    def combine(a, b):
+        fa, mna, mxa = a
+        fb, mnb, mxb = b
+        mn = jnp.where(fb[:, None], mnb, jnp.minimum(mna, mnb))
+        mx = jnp.where(fb[:, None], mxb, jnp.maximum(mxa, mxb))
+        return fa | fb, mn, mx
+
+    _, mn, mx = lax.associative_scan(combine, (boundary, x, x))
+    return mn, mx
+
+
+def _cumsum_prefix(x: jax.Array) -> jax.Array:
+    """P[k] = sum(x[:k]); length N+1."""
+    c = jnp.cumsum(x, axis=0)
+    z = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([z, c], axis=0)
+
+
+def build_source_cells(
+    codes_sorted: jax.Array,
+    pos_sorted: jax.Array,
+    mass_sorted: jax.Array,
+    b: int,
+    g_const: float,
+    g_cap: int,
+) -> SourceCells:
+    """Compute the adaptive cut and per-cell + per-child monopoles."""
+    n = codes_sorted.shape[0]
+    idx = jnp.arange(n, dtype=_I32)
+    c_cap = 8 * g_cap
+
+    # --- all-depth boundaries from one adjacent-XOR pass ---
+    prev = jnp.concatenate([codes_sorted[:1], codes_sorted[:-1]])
+    x = codes_sorted ^ prev
+    lcp = jnp.where(x == 0, 30, lax.clz(x).astype(_I32) - 2)  # shared bits
+    depths = jnp.arange(N_DEPTH, dtype=_I32)[None, :]
+    bnd = lcp[:, None] < 3 * depths                           # [N, D]
+    bnd = bnd.at[0, :].set(True)
+
+    # --- per-depth segment start & count via one vectorized scan pair ---
+    start_d = lax.cummax(jnp.where(bnd, idx[:, None], -1), axis=0)
+    nxt = jnp.concatenate([bnd[1:], jnp.ones((1, N_DEPTH), bool)], axis=0)
+    end_d = lax.cummin(
+        jnp.where(nxt, idx[:, None] + 1, n + 1), axis=0, reverse=True
+    )
+    cnt_d = end_d - start_d                                   # [N, D]
+
+    # cut depth: counts are nonincreasing in d
+    cut_depth = jnp.sum((cnt_d > b).astype(_I32), axis=1)     # [N], 0..D
+    at_max = cut_depth >= MAX_DEPTH
+
+    oh = jnp.arange(N_DEPTH, dtype=_I32)[None, :]
+    grp_b = jnp.any(bnd & (oh == jnp.minimum(cut_depth, MAX_DEPTH)[:, None]), axis=1)
+    # cells denser than b at max depth split into b-runs
+    st10 = start_d[:, MAX_DEPTH]
+    grp_b = grp_b | (at_max & ((idx - st10) % b == 0))
+
+    # children: depth+1 cells; for max-depth cells, b/8-runs
+    chd_b = grp_b | jnp.any(
+        bnd & (oh == jnp.minimum(cut_depth + 1, MAX_DEPTH)[:, None]), axis=1
+    )
+    sub = max(b // 8, 1)
+    grp_start = lax.cummax(jnp.where(grp_b, idx, -1))
+    chd_b = chd_b | (at_max & ((idx - grp_start) % sub == 0))
+
+    grp_id = jnp.cumsum(grp_b.astype(_I32)) - 1
+    chd_id = jnp.cumsum(chd_b.astype(_I32)) - 1
+    n_cells = grp_id[-1] + 1
+    n_child = chd_id[-1] + 1
+    overflow = (n_cells > g_cap) | (n_child > c_cap)
+
+    # --- compact segment starts (sort beats scatter ~6x on TPU) ---
+    big = jnp.iinfo(jnp.int32).max
+
+    def compact_starts(flags, cap):
+        key = jnp.where(flags, idx, big)
+        skey = lax.sort(key)
+        if cap + 1 <= n:
+            out = skey[: cap + 1]
+        else:
+            out = jnp.concatenate(
+                [skey, jnp.full((cap + 1 - n,), big, _I32)]
+            )
+        return jnp.minimum(out, n)  # padding -> n
+
+    g_edges = compact_starts(grp_b, g_cap)   # [g_cap+1]
+    c_edges = compact_starts(chd_b, c_cap)   # [c_cap+1]
+    g_first = g_edges[:g_cap]
+    g_count = jnp.clip(g_edges[1:] - g_first, 0, n)
+    c_first = c_edges[:c_cap]
+    c_count = jnp.clip(c_edges[1:] - c_first, 0, n)
+
+    # --- per-segment reductions ---
+    pm = _cumsum_prefix(mass_sorted[:, None])                 # [N+1, 1]
+    pwm = _cumsum_prefix(pos_sorted * mass_sorted[:, None])   # [N+1, 3]
+    mn_g, mx_g = _seg_scan_minmax(pos_sorted, grp_b)
+    mn_c, mx_c = _seg_scan_minmax(pos_sorted, chd_b)
+
+    def cell_stats(first, count, mn, mx):
+        valid = count > 0
+        lastp = jnp.clip(first + count - 1, 0, n - 1)
+        fc = jnp.clip(first, 0, n - 1)
+        m = pm[jnp.clip(first + count, 0, n), 0] - pm[fc, 0]
+        wm = pwm[jnp.clip(first + count, 0, n)] - pwm[fc]
+        com = jnp.where(valid[:, None], wm / jnp.maximum(m, 1e-20)[:, None], 0.0)
+        diam = jnp.where(valid, jnp.max(mx[lastp] - mn[lastp], axis=1), 0.0)
+        return com, g_const * m * valid, diam
+
+    g_com, g_gm, g_diam = cell_stats(g_first, g_count, mn_g, mx_g)
+    c_com, c_gm, c_diam = cell_stats(c_first, c_count, mn_c, mx_c)
+
+    # --- regroup children to [Gc, 8]: group i's children are the child
+    # ids [chd_id[g_first[i]], chd_id[g_first[i+1]]) (both contiguous) ---
+    valid_g = g_count > 0
+    gf_safe = jnp.clip(g_first, 0, n - 1)
+    child_base = jnp.where(valid_g, chd_id[gf_safe], n_child)
+    next_base = jnp.concatenate([child_base[1:], jnp.full((1,), 0, _I32)])
+    next_base = jnp.where(
+        jnp.concatenate([valid_g[1:], jnp.zeros((1,), bool)]),
+        next_base, n_child,
+    )
+    n_kids = jnp.clip(jnp.where(valid_g, next_base - child_base, 0), 0, 8)
+    kid_ok = jnp.arange(8, dtype=_I32)[None, :] < n_kids[:, None]
+    slot = jnp.clip(child_base[:, None] + jnp.arange(8, dtype=_I32)[None, :], 0, c_cap - 1)
+    child_com = jnp.where(kid_ok[..., None], c_com[slot], 0.0)
+    child_gm = jnp.where(kid_ok, c_gm[slot], 0.0)
+    child_diam = jnp.where(kid_ok, c_diam[slot], 0.0)
+
+    return SourceCells(
+        first=jnp.where(valid_g, g_first, 0),
+        count=g_count,
+        com=g_com,
+        gmass=g_gm,
+        diam=g_diam,
+        child_com=child_com,
+        child_gmass=child_gm,
+        child_diam=child_diam,
+        child_diam_max=jnp.max(child_diam, axis=1),
+        n_cells=n_cells,
+        overflow=overflow,
+    )

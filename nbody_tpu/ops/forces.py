@@ -143,18 +143,23 @@ def bh_forces_reference(pos_sorted: jax.Array, tree: LinearTree, cfg: SimConfig)
 #     exactly the Barnes-Hut monopole approximation, refined all the way
 #     to `force_tile`-sized cells (i.e. at least as accurate as the
 #     reference's adaptive walk at the same theta);
-#   * NEAR FIELD: for the ~dozens of groups per target that FAIL the
-#     group-level MAC  diam / sqrt(gap^2 + soft) < theta  (gap = distance
-#     from the source COM to the target group's bounding sphere), the
-#     monopole is wrong — so a correction kernel adds the exact O(B x B)
-#     particle-particle interaction and SUBTRACTS the monopole the far
-#     sweep already added.  Source particles of a group are CONTIGUOUS in
-#     the sorted order, so the Pallas kernel fetches them with block DMAs,
-#     never gathers.
+#   * MID BAND: for groups failing the group-level MAC
+#     diam / sqrt(gap^2 + soft) < theta  (gap = distance from the source
+#     COM to the target group's bounding sphere) whose 8 sub-blocks all
+#     pass it, the source is refined one level: evaluate the 8
+#     sub-monopoles and subtract the parent monopole the far sweep added.
+#     The per-target tables are built with ONE moderate row-gather and
+#     consumed by the same dense sweep kernel;
+#   * NEAR FIELD: for the remaining ~dozens of groups per target whose
+#     sub-blocks still fail, a correction kernel adds the exact O(B x B)
+#     particle-particle panel and subtracts the parent monopole.  Source
+#     particles of a group are CONTIGUOUS in the sorted order, so the
+#     Pallas kernel fetches them with block DMAs, never gathers.
 #
-# Accuracy: every source region either satisfies the conservative MAC for
-# all particles of the target group (monopole error <= the reference's
-# per-particle theta test, nbody_v5.cu:232) or is computed exactly.
+# Accuracy: every approximated cell (group or sub-block) satisfies the
+# reference's own criterion width/dist < theta for EVERY particle of the
+# target group (conservative sphere bound; criterion per nbody_v5.cu:232);
+# everything else is computed exactly.
 # ---------------------------------------------------------------------------
 
 
@@ -181,9 +186,8 @@ def pad_to_groups(pos_s, mass_s, b):
     return pos_p, mass_p
 
 
-def make_group_info(pos_s: jax.Array, mass_s: jax.Array, cfg: SimConfig) -> GroupInfo:
-    """Dense per-block reductions; requires len % force_tile == 0."""
-    b = cfg.force_tile
+def make_group_info(pos_s: jax.Array, mass_s: jax.Array, b: int, g_const: float) -> GroupInfo:
+    """Dense per-block reductions at block size `b`; len(pos_s) % b == 0."""
     g = pos_s.shape[0] // b
     p3 = pos_s.reshape(g, b, 3)
     m2 = mass_s.reshape(g, b)
@@ -193,50 +197,173 @@ def make_group_info(pos_s: jax.Array, mass_s: jax.Array, cfg: SimConfig) -> Grou
     hi = jnp.max(p3, axis=1)
     return GroupInfo(
         com=com,
-        gmass=cfg.g * msum,
+        gmass=g_const * msum,
         center=0.5 * (lo + hi),
         radius=0.5 * jnp.linalg.norm(hi - lo, axis=1),
-        diam=jnp.linalg.norm(hi - lo, axis=1),
+        # MAC size: the largest bbox extent — the same "cell width" the
+        # reference's criterion uses (node.maxX - node.minX,
+        # nbody_v5.cu:232), not the diagonal.
+        diam=jnp.max(hi - lo, axis=1),
     )
 
 
-def near_group_lists(groups: GroupInfo, cfg: SimConfig) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """For each target group, the source groups failing the conservative
-    MAC (including itself).  Dense (G x G) panels -> row-compacted index
-    lists [G, near_cap] padded with G (an all-zero virtual group).
+# Sub-blocks per group for the mid band (a group's 8 Morton-consecutive
+# children — the fixed-arity analog of one octree refinement level).
+SUB_FACTOR = 8
 
-    Returns (near_idx, near_cnt, overflowed).
+
+class BandLists(NamedTuple):
+    """Per-target-group source classification (see band_lists)."""
+
+    mid_idx: jax.Array    # [G, mid_cap] int32 source ids (pad: G)
+    mid_cnt: jax.Array    # [G]
+    near_idx: jax.Array   # [G, near_cap] int32 source ids (pad: G)
+    near_cnt: jax.Array   # [G]
+    mid_overflow: jax.Array   # [] bool
+    near_overflow: jax.Array  # [] bool
+
+
+def band_lists(
+    groups: GroupInfo, sub_diam_max: jax.Array, cfg: SimConfig,
+    tgt_subs: GroupInfo | None = None,
+) -> BandLists:
+    """Classify every (target group, source group) pair into three bands.
+
+    With dist = sqrt(gap^2 + soft) and gap the distance from the source
+    COM to the target's bounding sphere (conservative: a lower bound on
+    every member particle's distance):
+
+      far  : diam_src / dist < theta          -> parent monopole OK
+             (handled implicitly by the dense far sweep)
+      mid  : parent fails, but even the largest of its 8 sub-blocks
+             satisfies sub_diam_max / dist < theta -> evaluate the 8
+             sub-monopoles and subtract the parent monopole
+      near : a sub-block still fails          -> exact P2P minus parent
+
+    Every approximated cell therefore satisfies the reference's own
+    criterion width/dist < theta (nbody_v5.cu:232); near pairs are exact.
+    Evaluated in target chunks to bound the (chunk x G) panel memory.
     """
     g = groups.com.shape[0]
-    cap = cfg.near_cap
+    mid_cap, near_cap = cfg.mid_cap, cfg.near_cap
     soft = soft_term(cfg)
     theta = cfg.theta
+    n_sub = SUB_FACTOR if tgt_subs is not None else 1
+    chunk = max(16, min(512, (1 << 22) // max(g * n_sub, 1)))
+    g_pad = -(-g // chunk) * chunk
+    src_ids = jnp.arange(g, dtype=_I32)[None, :]
 
-    d = groups.com[None, :, :] - groups.center[:, None, :]      # [Gt, Gs, 3]
-    gap = jnp.maximum(
-        jnp.sqrt(jnp.sum(d * d, axis=-1)) - groups.radius[:, None], 0.0
+    def one_chunk(args):
+        center_c, radius_c = args   # [C, S, 3], [C, S] target sub-spheres
+        d = groups.com[None, :, None, :] - center_c[:, None, :, :]  # [C,G,S,3]
+        gap_s = jnp.maximum(
+            jnp.sqrt(jnp.sum(d * d, axis=-1)) - radius_c[:, None, :], 0.0
+        )
+        # conservative over the target's members: min over its sub-spheres.
+        # Sub-spheres (vs one whole-group sphere) keep the bound tight even
+        # for Morton-seam targets whose overall bbox spans the domain.
+        gap = jnp.min(gap_s, axis=-1)                      # [C, G]
+        dist = jnp.sqrt(gap * gap + soft)
+        fail0 = groups.diam[None, :] / dist >= theta
+        sub_ok = sub_diam_max[None, :] / dist < theta
+        mid = fail0 & sub_ok
+        near = fail0 & ~sub_ok
+
+        # Row compaction by ONE sort per row (scatter-based compaction
+        # costs ~6 ns per element on TPU — 12x slower at G x G scale).
+        # Key layout: mid cols ascending, then near cols offset by g,
+        # then 2g for far/pass — so one sorted row yields both lists.
+        key = jnp.where(mid, src_ids, jnp.where(near, src_ids + g, 2 * g))
+        skey = lax.sort(key, dimension=1)                 # [C, G]
+        extra = max(0, mid_cap + near_cap - g)
+        if extra:
+            skey = jnp.pad(skey, ((0, 0), (0, extra)), constant_values=2 * g)
+        mc = jnp.sum(mid.astype(_I32), axis=1)
+        nc = jnp.sum(near.astype(_I32), axis=1)
+        lane_m = jnp.arange(mid_cap, dtype=_I32)[None, :]
+        mi = jnp.where(lane_m < mc[:, None], skey[:, :mid_cap], g)
+        lane_n = jnp.arange(near_cap, dtype=_I32)[None, :]
+        pick = jnp.clip(mc[:, None] + lane_n, 0, skey.shape[1] - 1)
+        ni = jnp.take_along_axis(skey, pick, axis=1) - g
+        ni = jnp.where(lane_n < nc[:, None], ni, g)
+        return (mi, jnp.minimum(mc, mid_cap), ni, jnp.minimum(nc, near_cap),
+                jnp.any(mc > mid_cap), jnp.any(nc > near_cap))
+
+    # Per-target sub-spheres: the 8 sub-block bounding spheres when
+    # available, else the single group sphere.
+    if tgt_subs is not None:
+        s = SUB_FACTOR
+        centers = tgt_subs.center.reshape(g, s, 3)
+        radii = tgt_subs.radius.reshape(g, s)
+    else:
+        centers = groups.center[:, None, :]
+        radii = groups.radius[:, None]
+    s = centers.shape[1]
+    pad = g_pad - g
+    centers = jnp.pad(centers, ((0, pad), (0, 0), (0, 0)))
+    radii = jnp.pad(radii, ((0, pad), (0, 0)))
+    mi, mc, ni, nc, mo, no = lax.map(
+        one_chunk,
+        (centers.reshape(-1, chunk, s, 3), radii.reshape(-1, chunk, s)),
     )
-    dist = jnp.sqrt(gap * gap + soft)
-    fail = groups.diam[None, :] / dist >= theta                  # [Gt, Gs]
+    return BandLists(
+        mid_idx=mi.reshape(g_pad, mid_cap)[:g],
+        mid_cnt=mc.reshape(g_pad)[:g],
+        near_idx=ni.reshape(g_pad, near_cap)[:g],
+        near_cnt=nc.reshape(g_pad)[:g],
+        mid_overflow=jnp.any(mo),
+        near_overflow=jnp.any(no),
+    )
 
-    fi = fail.astype(_I32)
-    pos_in = jnp.cumsum(fi, axis=1) - fi
-    cnt = jnp.sum(fi, axis=1)
-    overflow = jnp.any(cnt > cap)
-    rows = jnp.arange(g, dtype=_I32)[:, None]
-    dest = jnp.where(fail & (pos_in < cap), pos_in, cap)
-    src = jnp.broadcast_to(jnp.arange(g, dtype=_I32)[None, :], (g, g))
-    near = jnp.full((g, cap + 1), g, _I32).at[rows, dest].set(
-        jnp.where(fail, src, g), mode="drop"
-    )[:, :cap]
-    return near, jnp.minimum(cnt, cap), overflow
+
+def build_mid_tables(
+    groups: GroupInfo, subs: GroupInfo, mid_idx: jax.Array, near_idx: jax.Array
+) -> jax.Array:
+    """Gather per-target mid-band source tables
+    [T, mid_cap*9 + near_cap, 4].
+
+    Each MID pair contributes 9 rows: its 8 sub-block monopoles plus the
+    parent monopole with NEGATED mass (the far sweep already added the
+    parent; the anti-row cancels it).  Each NEAR pair contributes only its
+    anti-parent row — its exact P2P comes from the near kernel, which is
+    then pure particle-particle work.  Row layout: [x, y, z, G*mass];
+    padding pairs (id == G) hit an all-zero row.
+    """
+    g = groups.com.shape[0]
+    t = mid_idx.shape[0]          # may be a target slab (multi-chip)
+    sub4 = jnp.concatenate(
+        [subs.com, subs.gmass[:, None]], axis=1
+    ).reshape(g, SUB_FACTOR, 4)
+    par4 = jnp.concatenate([groups.com, -groups.gmass[:, None]], axis=1)
+    ext = jnp.concatenate([sub4, par4[:, None, :]], axis=1)   # [G, 9, 4]
+    ext_flat = jnp.concatenate(
+        [ext.reshape(g, 9 * 4), jnp.zeros((1, 9 * 4), jnp.float32)]
+    )
+    mid_tab = ext_flat[mid_idx].reshape(t, -1, 4)             # [T, mid_cap*9, 4]
+    par_ext = jnp.concatenate([par4, jnp.zeros((1, 4), jnp.float32)])
+    near_tab = par_ext[near_idx]                              # [T, near_cap, 4]
+    return jnp.concatenate([mid_tab, near_tab], axis=1)
+
+
+def table_sweep_jnp(tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig) -> jax.Array:
+    """Per-target dense sweep over gathered source tables [T, S, 4]
+    (jnp twin of pallas.table_sweep_pallas)."""
+    b = cfg.force_tile
+    soft = soft_term(cfg)
+    t = tgt_pos.shape[0] // b
+
+    def one(args):
+        pb, tab = args
+        return _panel_accel(pb, tab[:, 0:3], tab[:, 3], 1.0, soft)
+
+    acc = lax.map(one, (tgt_pos.reshape(t, b, 3), tables))
+    return acc.reshape(-1, 3)
 
 
 def far_sweep_jnp(pos_s: jax.Array, groups: GroupInfo, cfg: SimConfig) -> jax.Array:
     """Dense N x G monopole forces (jnp twin of the Pallas kernel)."""
     soft = soft_term(cfg)
     b = cfg.force_tile
-    g = groups.com.shape[0]
     blocks = pos_s.reshape(-1, b, 3)
 
     def one(pb):
@@ -251,8 +378,10 @@ def near_correction_jnp(
     tgt_pos: jax.Array, src_pos: jax.Array, src_mass: jax.Array,
     groups: GroupInfo, near_idx: jax.Array, cfg: SimConfig,
 ) -> jax.Array:
-    """Exact P2P minus the already-applied monopole, for every near source
-    group (jnp twin of the Pallas kernel; gathers — CPU/tests only).
+    """Exact P2P against every near source group (jnp twin of the Pallas
+    kernel; gathers — CPU/tests only).  The matching anti-parent monopole
+    rows live in the mid tables (build_mid_tables), so this band is pure
+    particle-particle work.
 
     Targets may be a slab of the global sorted order (multi-chip); sources
     and groups are always global.
@@ -264,18 +393,13 @@ def near_correction_jnp(
     tp3 = tgt_pos.reshape(-1, b, 3)
     p3 = src_pos.reshape(g, b, 3)
     m2 = src_mass.reshape(g, b)
-    # virtual padding group g: zero mass
-    com_x = jnp.concatenate([groups.com, jnp.zeros((1, 3))])
-    gm_x = jnp.concatenate([groups.gmass, jnp.zeros((1,))])
 
     def one(args):
         pb, idx = args                       # [B,3], [C]
         ic = jnp.clip(idx, 0, g - 1)
         q = p3[ic].reshape(-1, 3)            # [C*B, 3] source particles
         qm = jnp.where(idx[:, None] < g, m2[ic], 0.0).reshape(-1)
-        exact = _panel_accel(pb, q, qm, cfg.g, soft)
-        mono = _panel_accel(pb, com_x[idx], gm_x[idx], 1.0, soft)
-        return exact - mono
+        return _panel_accel(pb, q, qm, cfg.g, soft)
 
     acc = lax.map(one, (tp3, near_idx))
     return acc.reshape(n, 3)
@@ -284,18 +408,35 @@ def near_correction_jnp(
 def bh_forces_grouped(pos_s: jax.Array, mass_s: jax.Array, cfg: SimConfig) -> jax.Array:
     """Production Barnes-Hut forces on Morton-sorted, group-padded arrays.
 
-    far monopole sweep + near P2P correction; Pallas kernels on TPU.
+    three-band telescoping:
+      dense far monopole sweep (all groups)
+    + mid-band sub-monopole tables (parent fails theta, sub-blocks pass)
+    + near-band exact P2P (sub-blocks fail too), each minus the parent
+      monopole the far sweep already applied.
+    Pallas kernels on TPU; jnp twins elsewhere.
     """
-    groups = make_group_info(pos_s, mass_s, cfg)
-    near_idx, near_cnt, _ = near_group_lists(groups, cfg)
+    b = cfg.force_tile
+    groups = make_group_info(pos_s, mass_s, b, cfg.g)
+    subs = make_group_info(pos_s, mass_s, b // SUB_FACTOR, cfg.g)
+    g = groups.com.shape[0]
+    sub_diam_max = jnp.max(subs.diam.reshape(g, SUB_FACTOR), axis=1)
+    bands = band_lists(groups, sub_diam_max, cfg, tgt_subs=subs)
+    mid_tab = build_mid_tables(groups, subs, bands.mid_idx, bands.near_idx)
+
     if cfg.use_pallas:
-        from nbody_tpu.ops.pallas.forces import far_sweep_pallas, near_correction_pallas
+        from nbody_tpu.ops.pallas.forces import (
+            far_sweep_pallas, table_sweep_pallas, near_correction_pallas,
+        )
 
         far = far_sweep_pallas(pos_s, groups, cfg)
-        corr = near_correction_pallas(
-            pos_s, pos_s, mass_s, groups, near_idx, near_cnt, cfg
+        mid = table_sweep_pallas(pos_s, mid_tab, cfg)
+        near = near_correction_pallas(
+            pos_s, pos_s, mass_s, groups, bands.near_idx, bands.near_cnt, cfg
         )
     else:
         far = far_sweep_jnp(pos_s, groups, cfg)
-        corr = near_correction_jnp(pos_s, pos_s, mass_s, groups, near_idx, cfg)
-    return far + corr
+        mid = table_sweep_jnp(pos_s, mid_tab, cfg)
+        near = near_correction_jnp(
+            pos_s, pos_s, mass_s, groups, bands.near_idx, cfg
+        )
+    return far + mid + near

@@ -38,6 +38,12 @@ from nbody_tpu.config import SimConfig
 # tiling T(1024), required for flat-array blocks.
 LC = 1024
 
+# Near-kernel segment width: source blocks fetched/evaluated per loop
+# iteration (KSEG DMAs in flight per buffer, double-buffered).  Panels are
+# evaluated in KSPLIT sub-panels to bound VMEM temporaries.
+KSEG = 8
+KSPLIT = 2
+
 
 def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
@@ -117,87 +123,151 @@ def far_sweep_pallas(pos_s: jax.Array, groups, cfg: SimConfig) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# mid-band table sweep
+# ---------------------------------------------------------------------------
+
+
+def _table_kernel(pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref, *, soft: float, chunks: int):
+    # same panel math as the far sweep; the source rows here are the
+    # PER-TARGET gathered mid-band tables (sub-monopoles + anti-parents)
+    _far_kernel(pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref, soft=soft)
+
+
+def table_sweep_pallas(tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig) -> jax.Array:
+    """Dense sweep over per-target source tables [T, S, 4]; twin of
+    forces.table_sweep_jnp."""
+    from nbody_tpu.ops.forces import soft_term
+
+    n = tgt_pos.shape[0]
+    b = cfg.force_tile
+    t, s, _ = tables.shape
+    assert t * b == n
+    s_pad = -(-s // LC) * LC
+    if s_pad != s:
+        tables = jnp.pad(tables, ((0, 0), (0, s_pad - s), (0, 0)))
+    chunks = s_pad // LC
+
+    tx = tables[:, :, 0].reshape(-1)
+    ty = tables[:, :, 1].reshape(-1)
+    tz = tables[:, :, 2].reshape(-1)
+    tm = tables[:, :, 3].reshape(-1)
+
+    kernel = functools.partial(_table_kernel, soft=float(soft_term(cfg)), chunks=chunks)
+    row = pl.BlockSpec((LC,), lambda i, j, c=chunks: (i * c + j,), memory_space=pltpu.VMEM)
+    acc = pl.pallas_call(
+        kernel,
+        grid=(t, chunks),
+        in_specs=[
+            pl.BlockSpec((1, b, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            row, row, row, row,
+        ],
+        out_specs=pl.BlockSpec((1, b, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, 3), jnp.float32),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=18 * n * s_pad,
+            bytes_accessed=(4 * t * s_pad + 2 * 3 * n) * 4,
+            transcendentals=n * s_pad,
+        ),
+    )(tgt_pos.reshape(t, b, 3), tx, ty, tz, tm)
+    return acc.reshape(n, 3)
+
+
+# ---------------------------------------------------------------------------
 # near correction
 # ---------------------------------------------------------------------------
 
 
 def _near_kernel(
     # scalar prefetch
-    near_ref,            # (G, C) int32 in SMEM
-    cnt_ref,             # (G,)   int32 in SMEM
+    cnt_ref,             # (G,) int32 in SMEM
     # tensor inputs
+    near_ref,            # (G, C) int32 HBM — near lists
     pos_ref,             # (1, B, 3) VMEM — target block
     srcm_ref,            # (4, N) HBM — planar [x; y; z; mass], Morton order
-    mono_ref,            # (G, 4) VMEM — packed [comx comy comz gmass]
     # output
     acc_ref,             # (1, B, 3) VMEM
     # scratch
-    buf,                 # (2, B, 4) VMEM — double-buffered source blocks
-    sem,                 # DMA semaphores (2,)
+    idx_smem,            # (C,) int32 SMEM — this target's near list
+    idx_sem,             # DMA semaphore
+    buf,                 # (2, 4, KSEG*B) VMEM — double-buffered segments
+    sem,                 # DMA semaphores (2, KSEG)
     *,
     b: int,
     cap: int,
     soft: float,
     g_const: float,
 ):
+    """Pure P2P: each iteration fetches a SEGMENT of KSEG source blocks
+    (KSEG DMAs issued together, one wait round) and evaluates one
+    (B x KSEG*B) panel — amortizing loop and DMA-wait overhead KSEG-fold.
+    The matching anti-parent monopoles are handled by the mid-table sweep.
+    """
     i = pl.program_id(0)
     cnt = cnt_ref[i]
+    n_seg = lax.div(cnt + KSEG - 1, KSEG)
     p = pos_ref[0]                       # (B, 3)
     px, py, pz = p[:, 0:1], p[:, 1:2], p[:, 2:3]
 
-    def start_dma(slot, k):
-        h = near_ref[i, k]
+    # The full (G, C) list table exceeds SMEM, so each program DMAs just
+    # its own row (dynamic scalar indexing is an SMEM-only operation).
+    row_dma = pltpu.make_async_copy(near_ref.at[i], idx_smem, idx_sem)
+    row_dma.start()
+    row_dma.wait()
+
+    def seg_dma(slot, s, j):
+        # list entries past cnt are clamped source ids — their
+        # contribution is masked out in the panel
+        k = s * KSEG + j
+        h = idx_smem[jnp.minimum(k, cap - 1)]
         return pltpu.make_async_copy(
-            srcm_ref.at[:, pl.ds(h * b, b)],   # (4, B) planar slice
-            buf.at[slot],
-            sem.at[slot],
+            srcm_ref.at[:, pl.ds(h * b, b)],
+            buf.at[slot, :, pl.ds(j * b, b)],
+            sem.at[slot, j],
         )
 
-    @pl.when(cnt > 0)
-    def _prefetch():
-        start_dma(0, 0).start()
+    def start_seg(slot, s):
+        for j in range(KSEG):
+            seg_dma(slot, s, j).start()
 
-    def body(k, acc):
-        slot = lax.rem(k, 2)
+    def wait_seg(slot, s):
+        for j in range(KSEG):
+            seg_dma(slot, s, j).wait()
 
-        @pl.when(k + 1 < cnt)
+    @pl.when(n_seg > 0)
+    def _pre():
+        start_seg(0, 0)
+
+    kb = KSEG // KSPLIT * b
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (1, kb), 1) // b
+
+    def body(s, acc):
+        slot = lax.rem(s, 2)
+
+        @pl.when(s + 1 < n_seg)
         def _next():
-            start_dma(lax.rem(k + 1, 2), k + 1).start()
+            start_seg(lax.rem(s + 1, 2), s + 1)
 
-        start_dma(slot, k).wait()
-        q = buf[slot]                    # (4, B), rows already lane-major
-        qx = q[0:1, :]
-        qy = q[1:2, :]
-        qz = q[2:3, :]
-        qm = g_const * q[3:4, :]
-
-        dx = qx - px                     # (B, B)
-        dy = qy - py
-        dz = qz - pz
-        d2 = dx * dx + dy * dy + dz * dz
-        inv = lax.rsqrt(d2 + soft)
-        w = qm * (inv * inv * inv)
-        ax = jnp.sum(w * dx, axis=1, keepdims=True)
-        ay = jnp.sum(w * dy, axis=1, keepdims=True)
-        az = jnp.sum(w * dz, axis=1, keepdims=True)
-
-        # subtract the monopole already applied by the far sweep
-        h = near_ref[i, k]
-        mono = mono_ref[pl.ds(h, 1), :]  # (1, 4)
-        mdx = mono[0, 0] - px            # (B, 1)
-        mdy = mono[0, 1] - py
-        mdz = mono[0, 2] - pz
-        md2 = mdx * mdx + mdy * mdy + mdz * mdz
-        minv = lax.rsqrt(md2 + soft)
-        mw = mono[0, 3] * (minv * minv * minv)   # (B, 1)
-
-        part = jnp.concatenate(
-            [ax - mw * mdx, ay - mw * mdy, az - mw * mdz], axis=1
-        )                                 # (B, 3)
-        return acc + part
+        wait_seg(slot, s)
+        for half in range(KSPLIT):       # bound panel temporaries
+            q = buf[slot, :, half * kb:(half + 1) * kb]   # (4, kb)
+            in_seg = cnt - s * KSEG - half * (KSEG // KSPLIT)
+            valid = lane_blk < in_seg    # list entries in this sub-panel
+            qm = jnp.where(valid, g_const * q[3:4, :], 0.0)
+            dx = q[0:1, :] - px          # (B, kb)
+            dy = q[1:2, :] - py
+            dz = q[2:3, :] - pz
+            d2 = dx * dx + dy * dy + dz * dz
+            inv = lax.rsqrt(d2 + soft)
+            w = qm * (inv * inv * inv)
+            ax = jnp.sum(w * dx, axis=1, keepdims=True)
+            ay = jnp.sum(w * dy, axis=1, keepdims=True)
+            az = jnp.sum(w * dz, axis=1, keepdims=True)
+            acc = acc + jnp.concatenate([ax, ay, az], axis=1)
+        return acc
 
     acc0 = jnp.zeros((b, 3), jnp.float32)
-    acc_ref[0] = lax.fori_loop(0, cnt, body, acc0)
+    acc_ref[0] = lax.fori_loop(0, n_seg, body, acc0)
 
 
 def near_correction_pallas(
@@ -221,26 +291,31 @@ def near_correction_pallas(
     cap = near_idx.shape[1]
 
     srcm = jnp.concatenate([src_pos.T, src_mass[None, :]], axis=0)  # (4, N) planar
-    mono = jnp.concatenate([groups.com, groups.gmass[:, None]], axis=1)  # (G, 4)
-    # clamp padding entries (== g) to a real index; they never execute
-    # because k < cnt, but keep the DMA address space valid regardless
+    # clamp padding entries (== g) to a real index; their contribution is
+    # masked in-kernel, but the DMA address space stays valid
     near_safe = jnp.minimum(near_idx, g - 1)
+    # HBM->SMEM row DMAs need a 128-aligned minor dimension
+    cap2 = -(-cap // 128) * 128
+    if cap2 != cap:
+        near_safe = jnp.pad(near_safe, ((0, 0), (0, cap2 - cap)))
 
     kernel = functools.partial(
-        _near_kernel, b=b, cap=cap, soft=float(soft_term(cfg)), g_const=float(cfg.g)
+        _near_kernel, b=b, cap=cap2, soft=float(soft_term(cfg)), g_const=float(cfg.g)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(t,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, b, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, b, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 4, b), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((cap2,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 4, KSEG * b), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, KSEG)),
         ],
     )
     acc = pl.pallas_call(
@@ -249,10 +324,10 @@ def near_correction_pallas(
         out_shape=jax.ShapeDtypeStruct((t, b, 3), jnp.float32),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 18 * n * cap * b // 4,
+            flops=18 * n * cap * b // 4,
             bytes_accessed=n * cap * 16 // 4,
             transcendentals=n * cap * b // 4,
         ),
-    )(near_safe.astype(jnp.int32), near_cnt.astype(jnp.int32),
-      tgt_pos.reshape(t, b, 3), srcm, mono)
+    )(near_cnt.astype(jnp.int32), near_safe.astype(jnp.int32),
+      tgt_pos.reshape(t, b, 3), srcm)
     return acc.reshape(n, 3)

@@ -71,28 +71,38 @@ def _local_bh_step(pos, vel, mass, acc, cfg: SimConfig):
     n_total = pos_g.shape[0]
     n_local = n_total // d
 
-    groups = forces.make_group_info(pos_s, mass_s, cfg)
-    near_idx, near_cnt, _ = forces.near_group_lists(groups, cfg)
+    b = cfg.force_tile
+    groups = forces.make_group_info(pos_s, mass_s, b, cfg.g)
+    subs = forces.make_group_info(pos_s, mass_s, b // forces.SUB_FACTOR, cfg.g)
+    g_all = groups.com.shape[0]
+    sub_diam_max = jnp.max(subs.diam.reshape(g_all, forces.SUB_FACTOR), axis=1)
+    bands = forces.band_lists(groups, sub_diam_max, cfg, tgt_subs=subs)
 
     # my slab of targets (contiguous groups => contiguous particles)
-    t_total = n_total // cfg.force_tile
+    t_total = n_total // b
     t_local = t_total // d
-    start_p = me * (t_local * cfg.force_tile)
-    my_pos = jax.lax.dynamic_slice_in_dim(pos_s, start_p, t_local * cfg.force_tile, 0)
-    my_near = jax.lax.dynamic_slice_in_dim(near_idx, me * t_local, t_local, 0)
-    my_cnt = jax.lax.dynamic_slice_in_dim(near_cnt, me * t_local, t_local, 0)
+    start_p = me * (t_local * b)
+    my_pos = jax.lax.dynamic_slice_in_dim(pos_s, start_p, t_local * b, 0)
+    my_mid = jax.lax.dynamic_slice_in_dim(bands.mid_idx, me * t_local, t_local, 0)
+    my_near = jax.lax.dynamic_slice_in_dim(bands.near_idx, me * t_local, t_local, 0)
+    my_cnt = jax.lax.dynamic_slice_in_dim(bands.near_cnt, me * t_local, t_local, 0)
+    my_tab = forces.build_mid_tables(groups, subs, my_mid, my_near)
 
     if cfg.use_pallas:
-        from nbody_tpu.ops.pallas.forces import far_sweep_pallas, near_correction_pallas
+        from nbody_tpu.ops.pallas.forces import (
+            far_sweep_pallas, table_sweep_pallas, near_correction_pallas,
+        )
 
         far = far_sweep_pallas(my_pos, groups, cfg)
+        mid = table_sweep_pallas(my_pos, my_tab, cfg)
         corr = near_correction_pallas(
             my_pos, pos_s, mass_s, groups, my_near, my_cnt, cfg
         )
     else:
         far = forces.far_sweep_jnp(my_pos, groups, cfg)
+        mid = forces.table_sweep_jnp(my_pos, my_tab, cfg)
         corr = forces.near_correction_jnp(my_pos, pos_s, mass_s, groups, my_near, cfg)
-    acc_slab = far + corr
+    acc_slab = far + mid + corr
 
     # Re-assemble sorted acc and route back to original sharded order.
     acc_s = jax.lax.all_gather(acc_slab, AXIS).reshape(-1, 3)

@@ -73,10 +73,15 @@ def frame_table(
     return rows
 
 
-def phase_times(state: ParticleState, cfg: SimConfig, iters: int = 10) -> Dict[str, float]:
-    """Per-phase median ms: bbox+morton+sort / tree build / list build /
-    force eval / integrate.  Phases are jitted separately, so totals will
-    slightly exceed the fused step (which is the point of fusing)."""
+def phase_times(
+    state: ParticleState, cfg: SimConfig, iters: int = 10,
+    include_tree: bool = False,
+) -> Dict[str, float]:
+    """Per-phase median ms: bbox+morton+sort / groups+bands / far / mid /
+    near / integrate.  Phases are jitted separately, so totals will
+    slightly exceed the fused step (which is the point of fusing).
+    `include_tree` additionally times the reference-path octree build,
+    which is NOT part of the production step."""
     from nbody_tpu.ops import bbox, morton, forces, integrate as integ
     from nbody_tpu.ops.tree import build_tree
 
@@ -97,21 +102,27 @@ def phase_times(state: ParticleState, cfg: SimConfig, iters: int = 10) -> Dict[s
         return build_tree(codes_s, pos_s, mass_s, size)
 
     pos_p, mass_p = forces.pad_to_groups(pos_s, mass_s, cfg.force_tile)
+    b = cfg.force_tile
 
     @jax.jit
     def ph_groups(pos_p, mass_p):
-        gi = forces.make_group_info(pos_p, mass_p, cfg)
-        return gi, forces.near_group_lists(gi, cfg)
+        gi = forces.make_group_info(pos_p, mass_p, b, cfg.g)
+        subs = forces.make_group_info(pos_p, mass_p, b // forces.SUB_FACTOR, cfg.g)
+        sdm = jnp.max(subs.diam.reshape(gi.com.shape[0], forces.SUB_FACTOR), axis=1)
+        bands = forces.band_lists(gi, sdm, cfg, tgt_subs=subs)
+        return gi, forces.build_mid_tables(gi, subs, bands.mid_idx, bands.near_idx), bands
 
-    (groups, (near_idx, near_cnt, _)) = jax.block_until_ready(ph_groups(pos_p, mass_p))
+    groups, mid_tab, bands = jax.block_until_ready(ph_groups(pos_p, mass_p))
 
     if cfg.use_pallas:
-        from nbody_tpu.ops.pallas.forces import far_sweep_pallas, near_correction_pallas
+        from nbody_tpu.ops.pallas.forces import (
+            far_sweep_pallas, table_sweep_pallas, near_correction_pallas,
+        )
 
-        far_fn = far_sweep_pallas
-        near_fn = near_correction_pallas
+        far_fn, mid_fn, near_fn = far_sweep_pallas, table_sweep_pallas, near_correction_pallas
     else:
         far_fn = forces.far_sweep_jnp
+        mid_fn = forces.table_sweep_jnp
         near_fn = lambda tp, sp, sm, gi, ni, nc, c: forces.near_correction_jnp(
             tp, sp, sm, gi, ni, c
         )
@@ -121,22 +132,32 @@ def phase_times(state: ParticleState, cfg: SimConfig, iters: int = 10) -> Dict[s
         return far_fn(pos_p, groups, cfg)
 
     @jax.jit
+    def ph_mid(pos_p, mid_tab):
+        return mid_fn(pos_p, mid_tab, cfg)
+
+    @jax.jit
     def ph_near(pos_p, mass_p, groups, near_idx, near_cnt):
         return near_fn(pos_p, pos_p, mass_p, groups, near_idx, near_cnt, cfg)
 
     acc_s = jax.block_until_ready(
-        ph_far(pos_p, groups) + ph_near(pos_p, mass_p, groups, near_idx, near_cnt)
+        ph_far(pos_p, groups) + ph_mid(pos_p, mid_tab)
+        + ph_near(pos_p, mass_p, groups, bands.near_idx, bands.near_cnt)
     )[: pos.shape[0]]
 
     @jax.jit
     def ph_integrate(state, acc):
         return integ.integrate(state, acc, cfg)
 
-    return {
+    out = {
         "sort_ms": time_fn(ph_sort, pos, iters=iters)["median_ms"],
-        "tree_ms": time_fn(ph_tree, codes_s, pos_s, mass_s, size, iters=iters)["median_ms"],
         "groups_ms": time_fn(ph_groups, pos_p, mass_p, iters=iters)["median_ms"],
         "far_ms": time_fn(ph_far, pos_p, groups, iters=iters)["median_ms"],
-        "near_ms": time_fn(ph_near, pos_p, mass_p, groups, near_idx, near_cnt, iters=iters)["median_ms"],
+        "mid_ms": time_fn(ph_mid, pos_p, mid_tab, iters=iters)["median_ms"],
+        "near_ms": time_fn(ph_near, pos_p, mass_p, groups, bands.near_idx, bands.near_cnt, iters=iters)["median_ms"],
         "integrate_ms": time_fn(ph_integrate, state, acc_s, iters=iters)["median_ms"],
     }
+    if include_tree:
+        out["tree_ms"] = time_fn(
+            ph_tree, codes_s, pos_s, mass_s, size, iters=iters
+        )["median_ms"]
+    return out

@@ -1,0 +1,127 @@
+"""Adaptive source-cell construction vs a brute-force numpy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nbody_tpu.ops import bbox, morton
+from nbody_tpu.ops.cells import build_source_cells, MAX_DEPTH
+
+
+def _oracle_cut(codes, b):
+    """Brute-force TRUE octree cut: per particle, the shallowest depth
+    whose FULL cell holds <= b particles; groups = runs of equal
+    (cut depth, cell id); max-depth overfull cells split into b-runs."""
+    n = len(codes)
+    cnt = np.zeros((n, MAX_DEPTH + 1), np.int64)
+    cid_all = np.zeros((n, MAX_DEPTH + 1), np.uint64)
+    for d in range(MAX_DEPTH + 1):
+        cid = codes >> np.uint64(3 * (MAX_DEPTH - d))
+        _, inv, cnts = np.unique(cid, return_inverse=True, return_counts=True)
+        cnt[:, d] = cnts[inv]
+        cid_all[:, d] = cid
+    cut = (cnt > b).sum(1)
+
+    groups = []
+    i = 0
+    while i < n:
+        d = cut[i]
+        if d > MAX_DEPTH:
+            # overfull at max depth: b-runs within the finest cell
+            j = i
+            while j < n and codes[j] == codes[i]:
+                j += 1
+            k = i
+            while k < j:
+                groups.append((k, min(b, j - k)))
+                k += b
+            i = j
+            continue
+        j = i
+        while j < n and cut[j] == d and cid_all[j, d] == cid_all[i, d]:
+            j += 1
+        groups.append((i, j - i))
+        i = j
+    return groups
+
+
+def _build(n, b, seed=0, clustered=False):
+    rng = np.random.default_rng(seed)
+    if clustered:
+        c = rng.uniform(-500, 500, (4, 3))
+        pos = (c[rng.integers(0, 4, n)] + rng.normal(0, 3, (n, 3))).astype(np.float32)
+    else:
+        pos = rng.uniform(-1000, 1000, (n, 3)).astype(np.float32)
+    mass = rng.uniform(1, 5, n).astype(np.float32)
+    lo, size = bbox.bounding_cube(jnp.asarray(pos))
+    codes = morton.encode30(jnp.asarray(pos), lo, size)
+    sc, perm = morton.morton_sort_30(codes)
+    ps, ms = jnp.asarray(pos)[perm], jnp.asarray(mass)[perm]
+    g_cap = max(64, 8 * n // b)
+    cells = build_source_cells(sc, ps, ms, b, 0.5, g_cap)
+    return cells, np.asarray(sc), np.asarray(ps), np.asarray(ms)
+
+
+@pytest.mark.parametrize("n,b,clustered", [
+    (1000, 64, False), (1000, 64, True), (4096, 256, False), (300, 32, True),
+])
+def test_cut_matches_oracle(n, b, clustered):
+    cells, codes, ps, ms = _build(n, b, clustered=clustered)
+    want = _oracle_cut(codes.astype(np.uint64), b)
+    gn = int(cells.n_cells)
+    assert not bool(cells.overflow)
+    assert gn == len(want)
+    first = np.asarray(cells.first)[:gn]
+    count = np.asarray(cells.count)[:gn]
+    np.testing.assert_array_equal(first, [w[0] for w in want])
+    np.testing.assert_array_equal(count, [w[1] for w in want])
+    assert count.max() <= b
+    # padding cells inert
+    assert np.all(np.asarray(cells.count)[gn:] == 0)
+    assert np.all(np.asarray(cells.gmass)[gn:] == 0.0)
+
+
+def test_cell_monopoles_and_children(seed=1):
+    n, b = 2000, 128
+    cells, codes, ps, ms = _build(n, b, seed=seed)
+    gn = int(cells.n_cells)
+    first = np.asarray(cells.first)[:gn]
+    count = np.asarray(cells.count)[:gn]
+    com = np.asarray(cells.com)[:gn]
+    gm = np.asarray(cells.gmass)[:gn]
+    diam = np.asarray(cells.diam)[:gn]
+    ck_gm = np.asarray(cells.child_gmass)[:gn]
+    ck_com = np.asarray(cells.child_com)[:gn]
+    ck_diam = np.asarray(cells.child_diam)[:gn]
+
+    for g in range(gn):
+        sl = slice(first[g], first[g] + count[g])
+        m = ms[sl].sum()
+        np.testing.assert_allclose(gm[g], 0.5 * m, rtol=1e-4)
+        np.testing.assert_allclose(
+            com[g], (ps[sl] * ms[sl, None]).sum(0) / m, rtol=1e-3, atol=1e-2
+        )
+        ext = ps[sl].max(0) - ps[sl].min(0)
+        np.testing.assert_allclose(diam[g], ext.max(), rtol=1e-5, atol=1e-5)
+        # children partition the cell's mass
+        np.testing.assert_allclose(ck_gm[g].sum(), 0.5 * m, rtol=1e-4)
+        # children mass-weighted coms average to the parent com
+        wsum = (ck_com[g] * ck_gm[g][:, None]).sum(0) / max(ck_gm[g].sum(), 1e-9)
+        np.testing.assert_allclose(wsum, com[g], rtol=1e-3, atol=5e-2)
+        # child diameters never exceed the parent's bbox diagonal scale
+        assert ck_diam[g].max() <= diam[g] * (1 + 1e-5) + 1e-5
+
+
+def test_duplicate_positions_runs():
+    # everything at one point: one finest cell split into b-runs
+    n, b = 300, 64
+    pos = jnp.zeros((n, 3), jnp.float32)
+    mass = jnp.ones((n,), jnp.float32)
+    lo, size = bbox.bounding_cube(pos)
+    sc, perm = morton.morton_sort_30(morton.encode30(pos, lo, size))
+    cells = build_source_cells(sc, pos[perm], mass[perm], b, 0.5, 64)
+    gn = int(cells.n_cells)
+    assert gn == -(-n // b)
+    count = np.asarray(cells.count)[:gn]
+    assert count.sum() == n and count.max() <= b
+    assert float(np.asarray(cells.diam)[:gn].max()) == 0.0

@@ -89,12 +89,22 @@ def _sorted_grouped(pos, mass, cfg):
     return forces.pad_to_groups(pos_s, mass_s, cfg.force_tile)
 
 
+def _bands(pos_s, mass_s, cfg):
+    b = cfg.force_tile
+    gi = forces.make_group_info(pos_s, mass_s, b, cfg.g)
+    subs = forces.make_group_info(pos_s, mass_s, b // forces.SUB_FACTOR, cfg.g)
+    g = gi.com.shape[0]
+    sdm = np.asarray(subs.diam).reshape(g, forces.SUB_FACTOR).max(1)
+    bands = forces.band_lists(gi, jnp.asarray(sdm), cfg, tgt_subs=subs)
+    return gi, subs, sdm, bands
+
+
 def test_group_info_spheres_and_monopoles():
     n = 2048
     cfg = SimConfig(n=n, theta=0.5, force_tile=256, use_pallas=False)
     pos, mass = _cloud(n, seed=4)
     pos_s, mass_s = _sorted_grouped(pos, mass, cfg)
-    gi = forces.make_group_info(pos_s, mass_s, cfg)
+    gi = forces.make_group_info(pos_s, mass_s, 256, cfg.g)
     g = n // 256
     ps = np.asarray(pos_s).reshape(g, 256, 3)
     ms = np.asarray(mass_s).reshape(g, 256)
@@ -104,22 +114,72 @@ def test_group_info_spheres_and_monopoles():
     # spheres contain their particles
     d = np.linalg.norm(ps - np.asarray(gi.center)[:, None, :], axis=-1)
     assert np.all(d.max(1) <= np.asarray(gi.radius) * (1 + 1e-5) + 1e-4)
+    # MAC size is the max bbox extent (v5 cell-width semantics)
+    ext = ps.max(1) - ps.min(1)
+    np.testing.assert_allclose(np.asarray(gi.diam), ext.max(-1), rtol=1e-6)
 
 
-def test_near_lists_symmetric_mac_and_self():
+def test_band_lists_partition_against_numpy():
+    """Recompute the band classification in numpy and check the compacted
+    lists match: far/mid/near partition every source for every target."""
     n = 2048
     cfg = SimConfig(n=n, theta=0.5, force_tile=256, use_pallas=False)
     pos, mass = _cloud(n, seed=5)
     pos_s, mass_s = _sorted_grouped(pos, mass, cfg)
-    gi = forces.make_group_info(pos_s, mass_s, cfg)
-    near, cnt, ovf = forces.near_group_lists(gi, cfg)
-    assert not bool(ovf)
-    g = n // 256
-    near_np, cnt_np = np.asarray(near), np.asarray(cnt)
+    gi, subs, sdm, bands = _bands(pos_s, mass_s, cfg)
+    g = gi.com.shape[0]
+    com = np.asarray(gi.com)
+    s = forces.SUB_FACTOR
+    ctr = np.asarray(subs.center).reshape(g, s, 3)
+    rad = np.asarray(subs.radius).reshape(g, s)
+    diam = np.asarray(gi.diam)
+    soft = forces.soft_term(cfg)
+
+    mid_np = np.asarray(bands.mid_idx)
+    near_np = np.asarray(bands.near_idx)
+    mc, nc = np.asarray(bands.mid_cnt), np.asarray(bands.near_cnt)
+    assert not bool(bands.mid_overflow) and not bool(bands.near_overflow)
     for t in range(g):
-        row = near_np[t, : cnt_np[t]]
-        assert t in row  # self always fails the MAC (gap == 0)
-        assert np.all(near_np[t, cnt_np[t]:] == g)  # padding
+        gap_s = np.maximum(
+            np.linalg.norm(com[:, None, :] - ctr[t][None, :, :], axis=-1)
+            - rad[t][None, :], 0.0,
+        )
+        gap = gap_s.min(axis=1)
+        dist = np.sqrt(gap * gap + soft)
+        fail0 = diam / dist >= cfg.theta
+        sub_ok = sdm / dist < cfg.theta
+        want_mid = set(np.nonzero(fail0 & sub_ok)[0])
+        want_near = set(np.nonzero(fail0 & ~sub_ok)[0])
+        assert set(mid_np[t, : mc[t]]) == want_mid
+        assert set(near_np[t, : nc[t]]) == want_near
+        assert np.all(mid_np[t, mc[t]:] == g)
+        assert np.all(near_np[t, nc[t]:] == g)
+
+
+def test_mid_tables_telescoping():
+    """A mid pair's 9 table rows must sum (in mass) to zero net-added mass
+    beyond the 8 sub monopoles: subs' gmass - parent gmass == 0."""
+    n = 2048
+    cfg = SimConfig(n=n, theta=0.5, force_tile=256, use_pallas=False)
+    pos, mass = _cloud(n, seed=5)
+    pos_s, mass_s = _sorted_grouped(pos, mass, cfg)
+    gi, subs, sdm, bands = _bands(pos_s, mass_s, cfg)
+    tab = np.asarray(forces.build_mid_tables(gi, subs, bands.mid_idx, bands.near_idx))
+    g = gi.com.shape[0]
+    mc = np.asarray(bands.mid_cnt)
+    nc = np.asarray(bands.near_cnt)
+    mid_cols = cfg.mid_cap * 9
+    near_part = tab[:, mid_cols:, :]
+    tab9 = tab[:, :mid_cols, :].reshape(g, -1, 9, 4)
+    # near anti-parent rows carry negative mass for real entries
+    for t in range(min(g, 4)):
+        assert np.all(near_part[t, : nc[t], 3] <= 0.0)
+        assert np.all(near_part[t, nc[t]:, :] == 0.0)
+    for t in range(min(g, 4)):
+        for k in range(mc[t]):
+            assert abs(tab9[t, k, :, 3].sum()) < 1e-2   # subs - parent ~ 0
+        # padding rows are all zero
+        assert np.all(tab9[t, mc[t]:] == 0.0)
 
 
 def test_grouped_matches_direct_within_theta_error():
@@ -140,37 +200,47 @@ def test_grouped_matches_direct_within_theta_error():
     assert np.median(np.linalg.norm(acc_grp - acc_dir, axis=1) / den) < 0.02
 
 
-def test_far_plus_near_equals_full_decomposition():
-    """Sanity of the telescoping: far(all monopoles) + near(P2P - mono)
-    == exact for near + monopole for far."""
+def test_band_sum_equals_full_decomposition():
+    """far + mid + near must equal bh_forces_grouped exactly."""
     n = 1024
     cfg = SimConfig(n=n, theta=0.5, force_tile=128, use_pallas=False)
     pos, mass = _cloud(n, seed=6)
     pos_s, mass_s = _sorted_grouped(pos, mass, cfg)
-    gi = forces.make_group_info(pos_s, mass_s, cfg)
-    near, cnt, _ = forces.near_group_lists(gi, cfg)
+    gi, subs, sdm, bands = _bands(pos_s, mass_s, cfg)
+    tab = forces.build_mid_tables(gi, subs, bands.mid_idx, bands.near_idx)
     far = np.asarray(forces.far_sweep_jnp(pos_s, gi, cfg))
-    corr = np.asarray(forces.near_correction_jnp(pos_s, pos_s, mass_s, gi, near, cfg))
+    mid = np.asarray(forces.table_sweep_jnp(pos_s, tab, cfg))
+    corr = np.asarray(
+        forces.near_correction_jnp(pos_s, pos_s, mass_s, gi, bands.near_idx, cfg)
+    )
     total = np.asarray(forces.bh_forces_grouped(pos_s, mass_s, cfg))
-    np.testing.assert_allclose(far + corr, total, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(far + mid + corr, total, rtol=1e-5, atol=1e-5)
 
 
-def test_pallas_matches_jnp_far_and_near():
+def test_pallas_matches_jnp_far_mid_near():
     n = 1024
     cfg = SimConfig(n=n, theta=0.5, force_tile=128, use_pallas=False)
     pos, mass = _cloud(n, seed=6)
     pos_s, mass_s = _sorted_grouped(pos, mass, cfg)
-    gi = forces.make_group_info(pos_s, mass_s, cfg)
-    near, cnt, _ = forces.near_group_lists(gi, cfg)
+    gi, subs, sdm, bands = _bands(pos_s, mass_s, cfg)
+    tab = forces.build_mid_tables(gi, subs, bands.mid_idx, bands.near_idx)
 
-    from nbody_tpu.ops.pallas.forces import far_sweep_pallas, near_correction_pallas
+    from nbody_tpu.ops.pallas.forces import (
+        far_sweep_pallas, table_sweep_pallas, near_correction_pallas,
+    )
 
     f_jnp = forces.far_sweep_jnp(pos_s, gi, cfg)
     f_pal = far_sweep_pallas(pos_s, gi, cfg)
     np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_jnp), rtol=2e-5, atol=2e-4)
 
-    c_jnp = forces.near_correction_jnp(pos_s, pos_s, mass_s, gi, near, cfg)
-    c_pal = near_correction_pallas(pos_s, pos_s, mass_s, gi, near, cnt, cfg)
+    m_jnp = forces.table_sweep_jnp(pos_s, tab, cfg)
+    m_pal = table_sweep_pallas(pos_s, tab, cfg)
+    np.testing.assert_allclose(np.asarray(m_pal), np.asarray(m_jnp), rtol=2e-5, atol=2e-4)
+
+    c_jnp = forces.near_correction_jnp(pos_s, pos_s, mass_s, gi, bands.near_idx, cfg)
+    c_pal = near_correction_pallas(
+        pos_s, pos_s, mass_s, gi, bands.near_idx, bands.near_cnt, cfg
+    )
     np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_jnp), rtol=2e-5, atol=2e-4)
 
 
