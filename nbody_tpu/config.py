@@ -39,10 +39,15 @@ class SimConfig:
     # --- tree / traversal ---
     morton_bits: int = 30          # 30-bit (v5) or 63-bit (legacy) codes
     force_tile: int = 256          # particles per force group (B)
-    mid_cap: int = 192             # max mid-band (sub-monopole) source
-                                   # groups per target (overflow flagged)
-    near_cap: int = 96             # max near-band (exact P2P) source
-                                   # groups per target (overflow flagged)
+    sup_cap: int = 128             # max MAC-failing supers per target
+                                   # (each refines to 8 cells; overflow
+                                   # flagged)
+    mid_cap: int = 256             # max mid-band (child-monopole) source
+                                   # cells per target (overflow flagged)
+    near_cap: int = 64             # max near-band (exact P2P) source
+                                   # cells per target (overflow flagged)
+    cell_cap_factor: int = 6       # adaptive-cell capacity multiplier:
+                                   # capacity = factor * ceil(n/force_tile)
     use_pallas: bool = True        # Pallas force kernels vs pure-jnp
     # --- initial conditions (nbody_v5.cu:395-414) ---
     seed: int = 42
@@ -68,8 +73,14 @@ class SimConfig:
 
     @property
     def n_groups(self) -> int:
-        """Force groups after padding to a force_tile multiple."""
+        """Target blocks after padding to a force_tile multiple."""
         return -(-self.n // self.force_tile)
+
+    @property
+    def cell_capacity(self) -> int:
+        """Static capacity for adaptive source cells (multiple of 8)."""
+        cap = self.cell_cap_factor * self.n_groups + 64
+        return -(-cap // 8) * 8
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -46,10 +46,13 @@ def compute_bh_acc(
     pos_s = pos[perm]
     mass_s = mass[perm]
     if force_fn == "tiled":
-        # production: two-level dense group decomposition — no tree on
-        # the hot path (see ops/forces.py)
-        pos_p, mass_p = forces.pad_to_groups(pos_s, mass_s, cfg.force_tile)
-        acc_s = forces.bh_forces_grouped(pos_p, mass_p, cfg)[:n]
+        # production: hierarchical dense band decomposition over adaptive
+        # octree source cells — no explicit tree on the hot path (see
+        # ops/forces.py and ops/cells.py)
+        pos_p, mass_p, codes_p = forces.pad_sorted(
+            pos_s, mass_s, codes_s, cfg.force_tile
+        )
+        acc_s = forces.bh_forces_grouped(pos_p, mass_p, codes_p, cfg)[:n]
     elif force_fn == "reference":
         tree = build_tree(codes_s, pos_s, mass_s, size)
         acc_s = forces.bh_forces_reference(pos_s, tree, cfg)

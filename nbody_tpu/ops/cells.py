@@ -48,6 +48,8 @@ class SourceCells(NamedTuple):
     com: jax.Array          # [Gc, 3]
     gmass: jax.Array        # [Gc] G_CONST * mass (0 pad)
     diam: jax.Array         # [Gc] max bbox extent (0 pad)
+    lo: jax.Array           # [Gc, 3] bbox lower corner (+inf pad)
+    hi: jax.Array           # [Gc, 3] bbox upper corner (-inf pad)
     child_com: jax.Array    # [Gc, 8, 3]
     child_gmass: jax.Array  # [Gc, 8] (0 for empty slots)
     child_diam: jax.Array   # [Gc, 8]
@@ -159,6 +161,8 @@ def build_source_cells(
     mn_g, mx_g = _seg_scan_minmax(pos_sorted, grp_b)
     mn_c, mx_c = _seg_scan_minmax(pos_sorted, chd_b)
 
+    big_f = jnp.float32(3.0e38)
+
     def cell_stats(first, count, mn, mx):
         valid = count > 0
         lastp = jnp.clip(first + count - 1, 0, n - 1)
@@ -166,11 +170,13 @@ def build_source_cells(
         m = pm[jnp.clip(first + count, 0, n), 0] - pm[fc, 0]
         wm = pwm[jnp.clip(first + count, 0, n)] - pwm[fc]
         com = jnp.where(valid[:, None], wm / jnp.maximum(m, 1e-20)[:, None], 0.0)
+        lo = jnp.where(valid[:, None], mn[lastp], big_f)
+        hi = jnp.where(valid[:, None], mx[lastp], -big_f)
         diam = jnp.where(valid, jnp.max(mx[lastp] - mn[lastp], axis=1), 0.0)
-        return com, g_const * m * valid, diam
+        return com, g_const * m * valid, diam, lo, hi
 
-    g_com, g_gm, g_diam = cell_stats(g_first, g_count, mn_g, mx_g)
-    c_com, c_gm, c_diam = cell_stats(c_first, c_count, mn_c, mx_c)
+    g_com, g_gm, g_diam, g_lo, g_hi = cell_stats(g_first, g_count, mn_g, mx_g)
+    c_com, c_gm, c_diam, _, _ = cell_stats(c_first, c_count, mn_c, mx_c)
 
     # --- regroup children to [Gc, 8]: group i's children are the child
     # ids [chd_id[g_first[i]], chd_id[g_first[i+1]]) (both contiguous) ---
@@ -195,6 +201,8 @@ def build_source_cells(
         com=g_com,
         gmass=g_gm,
         diam=g_diam,
+        lo=g_lo,
+        hi=g_hi,
         child_com=child_com,
         child_gmass=child_gm,
         child_diam=child_diam,

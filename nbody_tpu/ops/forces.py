@@ -12,12 +12,11 @@ Three implementations, all returning accelerations [N, 3]:
                             stack walk (nbody_v5.cu:215-249; see SURVEY.md
                             §2.4 #1 for why v5's own leaf test is buggy and
                             the legacy disjoint-id convention is adopted).
-* `bh_forces_grouped`     — the production path: a two-level dense group
-                            decomposition (far field = dense N x G
-                            monopole sweep; near field = exact P2P minus
-                            the monopole, for MAC-failing groups) — see
-                            the section comment below for the full design
-                            rationale.  Pallas kernels on TPU
+* `bh_forces_grouped`     — the production path: a hierarchical dense
+                            band decomposition over adaptive octree source
+                            cells (supers -> cells -> children -> exact
+                            P2P) — see the section comment below for the
+                            full design rationale.  Pallas kernels on TPU
                             (nbody_tpu.ops.pallas.forces).
 
 Force law (v5, nbody_v5.cu:231-237):  dist = sqrt(|d|^2 + SOFTENING),
@@ -127,55 +126,60 @@ def bh_forces_reference(pos_sorted: jax.Array, tree: LinearTree, cfg: SimConfig)
 
 
 # ---------------------------------------------------------------------------
-# Production path: two-level dense group decomposition
+# Production path: hierarchical dense band decomposition
 #
-# Measured XLA gather/scatter cost on TPU is ~5-10 ns per element, so any
-# traversal producing per-particle or per-group *index lists* (the natural
-# GPU formulation) is memory-latency-bound here.  The TPU-native
-# reformulation makes every access dense:
+# Measured XLA gather/scatter cost on TPU is ~5-10 ns per element and
+# per-small-DMA latency is ~1 us, so any per-particle traversal producing
+# index lists (the natural GPU formulation) is memory-latency-bound here.
+# The TPU-native reformulation makes every hot access dense or a large
+# contiguous DMA:
 #
-#   * particles are Morton-sorted and blocked into fixed groups of
-#     `force_tile` bodies; group monopoles (mass, COM) and bounding
-#     spheres come from plain reshaped reductions — no tree, no gather;
-#   * FAR FIELD: every particle interacts with EVERY group monopole — a
-#     dense (N x G) sweep whose source table (G x 4 floats) streams
-#     through VMEM.  For any group passing the theta-criterion this is
-#     exactly the Barnes-Hut monopole approximation, refined all the way
-#     to `force_tile`-sized cells (i.e. at least as accurate as the
-#     reference's adaptive walk at the same theta);
-#   * MID BAND: for groups failing the group-level MAC
-#     diam / sqrt(gap^2 + soft) < theta  (gap = distance from the source
-#     COM to the target group's bounding sphere) whose 8 sub-blocks all
-#     pass it, the source is refined one level: evaluate the 8
-#     sub-monopoles and subtract the parent monopole the far sweep added.
-#     The per-target tables are built with ONE moderate row-gather and
-#     consumed by the same dense sweep kernel;
-#   * NEAR FIELD: for the remaining ~dozens of groups per target whose
-#     sub-blocks still fail, a correction kernel adds the exact O(B x B)
-#     particle-particle panel and subtracts the parent monopole.  Source
-#     particles of a group are CONTIGUOUS in the sorted order, so the
-#     Pallas kernel fetches them with block DMAs, never gathers.
+#   * particles are Morton-sorted; SOURCES are grouped into ADAPTIVE
+#     OCTREE CELLS of <= force_tile bodies (ops/cells.py — scan-only
+#     construction), 8 consecutive cells aggregate into a SUPER, and each
+#     cell's depth+1 children provide one refinement level.  TARGETS are
+#     fixed force_tile blocks whose 8 sub-block bounding spheres give a
+#     tight conservative MAC bound (min gap over sub-spheres) even for
+#     Morton-seam blocks;
+#   * FAR FIELD: every particle against every SUPER monopole — a dense
+#     (N x S) sweep whose source table streams through VMEM;
+#   * BAND TABLES: supers failing the MAC  diam / sqrt(gap^2+soft) < theta
+#     are refined to their 8 member-cell monopoles (+ an anti-super row
+#     cancelling the far sweep's term); cells that still fail but whose
+#     children pass are refined to their 8 child monopoles (+ anti-cell).
+#     All rows are gathered into per-target tables with a few moderate
+#     row-gathers and consumed by ONE dense sweep kernel;
+#   * NEAR FIELD: cells whose children also fail get exact O(B x count)
+#     particle-particle panels (+ an anti-cell table row).  A cell's
+#     particles are CONTIGUOUS in the sorted order, so the Pallas kernel
+#     fetches 128-aligned spans with block DMAs, never gathers.
 #
-# Accuracy: every approximated cell (group or sub-block) satisfies the
-# reference's own criterion width/dist < theta for EVERY particle of the
-# target group (conservative sphere bound; criterion per nbody_v5.cu:232);
-# everything else is computed exactly.
+# Accuracy: every monopole-approximated region (super, cell, or child)
+# satisfies the reference's own criterion width/dist < theta for EVERY
+# particle of the target block (criterion per nbody_v5.cu:232);
+# everything else is computed exactly.  Band-list classification is
+# two-stage (supers first, then only the failing supers' cells) so the
+# classification panel is T x (sup_cap*8), not T x G_cells, and row
+# compaction is one sort (scatter-based compaction measured ~6x slower).
 # ---------------------------------------------------------------------------
 
 
 class GroupInfo(NamedTuple):
-    """Monopole + bounding-sphere data for N/B Morton-contiguous blocks."""
+    """Bounding data for the fixed TARGET blocks of `force_tile` bodies."""
 
-    com: jax.Array      # [G, 3] mass-weighted center (0 for massless pads)
-    gmass: jax.Array    # [G]    G_CONST * total mass
-    center: jax.Array   # [G, 3] bounding-sphere center
-    radius: jax.Array   # [G]    bounding-sphere radius
-    diam: jax.Array     # [G]    MAC size: bounding-box diagonal
+    center: jax.Array   # [T, 3] bounding-sphere center
+    radius: jax.Array   # [T]    bounding-sphere radius
+
+
+# Sub-spheres per target block: the MAC is evaluated against each target's
+# 8 sub-block bounding spheres (min gap) — tight even for Morton-seam
+# blocks whose overall bbox spans the domain.
+SUB_FACTOR = 8
 
 
 def pad_to_groups(pos_s, mass_s, b):
     """Pad sorted arrays to a multiple of b with zero-mass clones of the
-    last particle (keeps the final group's sphere tight; massless bodies
+    last particle (keeps the final block's spheres tight; massless bodies
     contribute nothing to monopoles or P2P)."""
     n = pos_s.shape[0]
     n_pad = -(-n // b) * b
@@ -186,163 +190,251 @@ def pad_to_groups(pos_s, mass_s, b):
     return pos_p, mass_p
 
 
-def make_group_info(pos_s: jax.Array, mass_s: jax.Array, b: int, g_const: float) -> GroupInfo:
-    """Dense per-block reductions at block size `b`; len(pos_s) % b == 0."""
-    g = pos_s.shape[0] // b
-    p3 = pos_s.reshape(g, b, 3)
-    m2 = mass_s.reshape(g, b)
-    msum = jnp.sum(m2, axis=1)
-    com = jnp.sum(p3 * m2[..., None], axis=1) / jnp.maximum(msum, 1e-20)[:, None]
+def pad_sorted(pos_s, mass_s, codes_s, b):
+    """pad_to_groups plus the matching Morton codes (clones of the last
+    particle keep the sorted order valid)."""
+    n = pos_s.shape[0]
+    pos_p, mass_p = pad_to_groups(pos_s, mass_s, b)
+    n_pad = pos_p.shape[0]
+    if n_pad == n:
+        return pos_p, mass_p, codes_s
+    codes_p = jnp.concatenate(
+        [codes_s, jnp.broadcast_to(codes_s[-1], (n_pad - n,))]
+    )
+    return pos_p, mass_p, codes_p
+
+
+def target_subspheres(pos_s: jax.Array, b: int) -> GroupInfo:
+    """Bounding spheres of each target block's SUB_FACTOR sub-blocks,
+    shaped [T * SUB_FACTOR]."""
+    sb = b // SUB_FACTOR
+    p3 = pos_s.reshape(-1, sb, 3)
     lo = jnp.min(p3, axis=1)
     hi = jnp.max(p3, axis=1)
     return GroupInfo(
-        com=com,
-        gmass=g_const * msum,
         center=0.5 * (lo + hi),
         radius=0.5 * jnp.linalg.norm(hi - lo, axis=1),
-        # MAC size: the largest bbox extent — the same "cell width" the
-        # reference's criterion uses (node.maxX - node.minX,
-        # nbody_v5.cu:232), not the diagonal.
-        diam=jnp.max(hi - lo, axis=1),
     )
 
 
-# Sub-blocks per group for the mid band (a group's 8 Morton-consecutive
-# children — the fixed-arity analog of one octree refinement level).
-SUB_FACTOR = 8
+class Supers(NamedTuple):
+    """Level-2 source aggregates: 8 consecutive adaptive cells each.
 
-
-class BandLists(NamedTuple):
-    """Per-target-group source classification (see band_lists)."""
-
-    mid_idx: jax.Array    # [G, mid_cap] int32 source ids (pad: G)
-    mid_cnt: jax.Array    # [G]
-    near_idx: jax.Array   # [G, near_cap] int32 source ids (pad: G)
-    near_cnt: jax.Array   # [G]
-    mid_overflow: jax.Array   # [] bool
-    near_overflow: jax.Array  # [] bool
-
-
-def band_lists(
-    groups: GroupInfo, sub_diam_max: jax.Array, cfg: SimConfig,
-    tgt_subs: GroupInfo | None = None,
-) -> BandLists:
-    """Classify every (target group, source group) pair into three bands.
-
-    With dist = sqrt(gap^2 + soft) and gap the distance from the source
-    COM to the target's bounding sphere (conservative: a lower bound on
-    every member particle's distance):
-
-      far  : diam_src / dist < theta          -> parent monopole OK
-             (handled implicitly by the dense far sweep)
-      mid  : parent fails, but even the largest of its 8 sub-blocks
-             satisfies sub_diam_max / dist < theta -> evaluate the 8
-             sub-monopoles and subtract the parent monopole
-      near : a sub-block still fails          -> exact P2P minus parent
-
-    Every approximated cell therefore satisfies the reference's own
-    criterion width/dist < theta (nbody_v5.cu:232); near pairs are exact.
-    Evaluated in target chunks to bound the (chunk x G) panel memory.
+    `com`/`gmass` feed the dense far sweep (far_sweep_* reads exactly
+    these two fields); diam is the MAC size for refinement to cells.
     """
-    g = groups.com.shape[0]
+
+    com: jax.Array      # [S, 3]
+    gmass: jax.Array    # [S]
+    diam: jax.Array     # [S] max bbox extent over member cells
+    n_supers: jax.Array # [] int32 (ceil(n_cells / 8))
+
+
+def make_supers(cells) -> Supers:
+    g_cap = cells.gmass.shape[0]
+    s = g_cap // 8
+    gm = cells.gmass.reshape(s, 8)
+    msum = jnp.sum(gm, axis=1)
+    com = jnp.sum(
+        cells.com.reshape(s, 8, 3) * gm[..., None], axis=1
+    ) / jnp.maximum(msum, 1e-20)[:, None]
+    lo = jnp.min(cells.lo.reshape(s, 8, 3), axis=1)
+    hi = jnp.max(cells.hi.reshape(s, 8, 3), axis=1)
+    valid = msum > 0
+    diam = jnp.where(valid, jnp.max(hi - lo, axis=1), 0.0)
+    return Supers(
+        com=jnp.where(valid[:, None], com, 0.0),
+        gmass=msum,
+        diam=diam,
+        n_supers=(cells.n_cells + 7) // 8,
+    )
+
+
+class CellBands(NamedTuple):
+    """Per-target source classification over the adaptive cell hierarchy.
+
+    sup: supers failing the MAC (refine to their 8 cells);
+    mid: cells failing whose children all pass (refine to children);
+    near: cells whose children still fail (exact P2P).
+    """
+
+    sup_idx: jax.Array    # [T, sup_cap] int32 super ids (pad: n_sup_cap)
+    sup_cnt: jax.Array
+    mid_idx: jax.Array    # [T, mid_cap] int32 cell ids (pad: g_cap)
+    mid_cnt: jax.Array
+    near_idx: jax.Array   # [T, near_cap] int32 cell ids (pad: g_cap)
+    near_cnt: jax.Array
+    sup_overflow: jax.Array
+    mid_overflow: jax.Array
+    near_overflow: jax.Array
+
+
+def _row_compact_two(key_lo, key_hi, big, cap_lo, cap_hi):
+    """Sort-based row compaction of two disjoint ascending-key classes.
+
+    key_lo/key_hi: [C, K] int32 keys, `big` for absent.  Returns
+    (lo_idx, lo_cnt, hi_idx, hi_cnt) with hi keys de-offset by `big//2`.
+    (Scatter-based compaction measured ~6x slower at panel scale.)
+    """
+    c = key_lo.shape[0]
+    merged = jnp.minimum(key_lo, key_hi)
+    skey = lax.sort(merged, dimension=1)
+    lo_cnt = jnp.sum((key_lo < big).astype(_I32), axis=1)
+    hi_cnt = jnp.sum((key_hi < big).astype(_I32), axis=1)
+    width = skey.shape[1]
+    extra = max(0, cap_lo + cap_hi - width)
+    if extra:
+        skey = jnp.pad(skey, ((0, 0), (0, extra)), constant_values=big)
+    lane_l = jnp.arange(cap_lo, dtype=_I32)[None, :]
+    lo_idx = jnp.where(lane_l < lo_cnt[:, None], skey[:, :cap_lo], big)
+    lane_h = jnp.arange(cap_hi, dtype=_I32)[None, :]
+    pick = jnp.clip(lo_cnt[:, None] + lane_h, 0, skey.shape[1] - 1)
+    hi_idx = jnp.take_along_axis(skey, pick, axis=1) - big // 2
+    hi_idx = jnp.where(lane_h < hi_cnt[:, None], hi_idx, big)
+    return lo_idx, lo_cnt, hi_idx, hi_cnt
+
+
+def cell_band_lists(
+    tgt_subs: GroupInfo, supers: Supers, cells, cfg: SimConfig
+) -> CellBands:
+    """Two-stage classification, chunked over targets.
+
+    Stage 1 tests every SUPER against the target's sub-spheres (min gap);
+    failing supers are listed.  Stage 2 gathers only the ~sup_cap*8
+    candidate cells of those supers and classifies each as keep-monopole /
+    refine-to-children (mid) / exact (near).  This keeps the classified
+    panel at T x (sup_cap*8) instead of T x G_cells.
+    """
+    s_cap = cfg.sup_cap
     mid_cap, near_cap = cfg.mid_cap, cfg.near_cap
-    soft = soft_term(cfg)
     theta = cfg.theta
-    n_sub = SUB_FACTOR if tgt_subs is not None else 1
-    chunk = max(16, min(512, (1 << 22) // max(g * n_sub, 1)))
-    g_pad = -(-g // chunk) * chunk
-    src_ids = jnp.arange(g, dtype=_I32)[None, :]
+    soft = soft_term(cfg)
+    n_sup = supers.com.shape[0]
+    g_cap = cells.gmass.shape[0]
+    t = tgt_subs.center.shape[0] // SUB_FACTOR
+    big = jnp.iinfo(jnp.int32).max // 2 * 2  # even sentinel
+
+    # packed per-cell fields for stage 2: [g_cap+1, 5] (zero pad row)
+    cellf = jnp.concatenate(
+        [cells.com, cells.diam[:, None], cells.child_diam_max[:, None]], axis=1
+    )
+    cellf = jnp.concatenate([cellf, jnp.zeros((1, 5), jnp.float32)])
+
+    centers = tgt_subs.center.reshape(t, SUB_FACTOR, 3)
+    radii = tgt_subs.radius.reshape(t, SUB_FACTOR)
+    chunk = max(8, min(256, (1 << 21) // max(n_sup, 1)))
+    t_pad = -(-t // chunk) * chunk
+    centers = jnp.pad(centers, ((0, t_pad - t), (0, 0), (0, 0)))
+    radii = jnp.pad(radii, ((0, t_pad - t), (0, 0)))
+
+    sup_ids = jnp.arange(n_sup, dtype=_I32)[None, :]
+
+    def min_gap(com, ctr, rad):
+        # com [.., 3] sources; ctr [C, S, 3], rad [C, S] target sub-spheres
+        d = com[None, :, None, :] - ctr[:, None, :, :]
+        gap = jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad[:, None, :]
+        return jnp.maximum(jnp.min(gap, axis=-1), 0.0)
 
     def one_chunk(args):
-        center_c, radius_c = args   # [C, S, 3], [C, S] target sub-spheres
-        d = groups.com[None, :, None, :] - center_c[:, None, :, :]  # [C,G,S,3]
-        gap_s = jnp.maximum(
-            jnp.sqrt(jnp.sum(d * d, axis=-1)) - radius_c[:, None, :], 0.0
-        )
-        # conservative over the target's members: min over its sub-spheres.
-        # Sub-spheres (vs one whole-group sphere) keep the bound tight even
-        # for Morton-seam targets whose overall bbox spans the domain.
-        gap = jnp.min(gap_s, axis=-1)                      # [C, G]
+        ctr, rad = args                                    # [C,S,3],[C,S]
+        # stage 1: supers
+        gap = min_gap(supers.com, ctr, rad)                # [C, n_sup]
         dist = jnp.sqrt(gap * gap + soft)
-        fail0 = groups.diam[None, :] / dist >= theta
-        sub_ok = sub_diam_max[None, :] / dist < theta
-        mid = fail0 & sub_ok
-        near = fail0 & ~sub_ok
+        fail2 = supers.diam[None, :] / dist >= theta
+        key = jnp.where(fail2, sup_ids, big)
+        skey = lax.sort(key, dimension=1)
+        sup_cnt = jnp.sum(fail2.astype(_I32), axis=1)
+        if s_cap > n_sup:
+            skey = jnp.pad(skey, ((0, 0), (0, s_cap - n_sup)), constant_values=big)
+        lane = jnp.arange(s_cap, dtype=_I32)[None, :]
+        sup_idx = jnp.where(lane < sup_cnt[:, None], skey[:, :s_cap], big)
 
-        # Row compaction by ONE sort per row (scatter-based compaction
-        # costs ~6 ns per element on TPU — 12x slower at G x G scale).
-        # Key layout: mid cols ascending, then near cols offset by g,
-        # then 2g for far/pass — so one sorted row yields both lists.
-        key = jnp.where(mid, src_ids, jnp.where(near, src_ids + g, 2 * g))
-        skey = lax.sort(key, dimension=1)                 # [C, G]
-        extra = max(0, mid_cap + near_cap - g)
-        if extra:
-            skey = jnp.pad(skey, ((0, 0), (0, extra)), constant_values=2 * g)
-        mc = jnp.sum(mid.astype(_I32), axis=1)
-        nc = jnp.sum(near.astype(_I32), axis=1)
-        lane_m = jnp.arange(mid_cap, dtype=_I32)[None, :]
-        mi = jnp.where(lane_m < mc[:, None], skey[:, :mid_cap], g)
-        lane_n = jnp.arange(near_cap, dtype=_I32)[None, :]
-        pick = jnp.clip(mc[:, None] + lane_n, 0, skey.shape[1] - 1)
-        ni = jnp.take_along_axis(skey, pick, axis=1) - g
-        ni = jnp.where(lane_n < nc[:, None], ni, g)
-        return (mi, jnp.minimum(mc, mid_cap), ni, jnp.minimum(nc, near_cap),
-                jnp.any(mc > mid_cap), jnp.any(nc > near_cap))
+        # stage 2: the failing supers' cells (clamp BEFORE expanding — the
+        # `big` padding sentinel would overflow int32 when multiplied)
+        sup_c = jnp.minimum(sup_idx, n_sup)                # pad -> n_sup
+        cand = sup_c[:, :, None] * 8 + jnp.arange(8, dtype=_I32)[None, None, :]
+        cand = jnp.minimum(cand, g_cap).reshape(ctr.shape[0], -1)  # pad -> g_cap
+        f = cellf[cand]                                    # [C, K, 5]
+        d = f[..., 0:3][:, :, None, :] - ctr[:, None, :, :]
+        gapc = jnp.maximum(
+            jnp.min(jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad[:, None, :], axis=-1),
+            0.0,
+        )
+        distc = jnp.sqrt(gapc * gapc + soft)
+        diam = f[..., 3]
+        cdm = f[..., 4]
+        failc = (diam / distc >= theta) & (cand < g_cap)
+        midm = failc & (cdm / distc < theta)
+        nearm = failc & ~midm
+        key_m = jnp.where(midm, cand, big)
+        key_n = jnp.where(nearm, cand + big // 2, big)
+        mi, mc, ni, nc = _row_compact_two(key_m, key_n, big, mid_cap, near_cap)
+        return (
+            jnp.minimum(sup_idx, n_sup), jnp.minimum(sup_cnt, s_cap),
+            jnp.minimum(mi, g_cap), jnp.minimum(mc, mid_cap),
+            jnp.minimum(ni, g_cap), jnp.minimum(nc, near_cap),
+            jnp.any(sup_cnt > s_cap), jnp.any(mc > mid_cap), jnp.any(nc > near_cap),
+        )
 
-    # Per-target sub-spheres: the 8 sub-block bounding spheres when
-    # available, else the single group sphere.
-    if tgt_subs is not None:
-        s = SUB_FACTOR
-        centers = tgt_subs.center.reshape(g, s, 3)
-        radii = tgt_subs.radius.reshape(g, s)
-    else:
-        centers = groups.center[:, None, :]
-        radii = groups.radius[:, None]
-    s = centers.shape[1]
-    pad = g_pad - g
-    centers = jnp.pad(centers, ((0, pad), (0, 0), (0, 0)))
-    radii = jnp.pad(radii, ((0, pad), (0, 0)))
-    mi, mc, ni, nc, mo, no = lax.map(
+    res = lax.map(
         one_chunk,
-        (centers.reshape(-1, chunk, s, 3), radii.reshape(-1, chunk, s)),
+        (centers.reshape(-1, chunk, SUB_FACTOR, 3),
+         radii.reshape(-1, chunk, SUB_FACTOR)),
     )
-    return BandLists(
-        mid_idx=mi.reshape(g_pad, mid_cap)[:g],
-        mid_cnt=mc.reshape(g_pad)[:g],
-        near_idx=ni.reshape(g_pad, near_cap)[:g],
-        near_cnt=nc.reshape(g_pad)[:g],
+    si, sc, mi, mc, ni, nc, so, mo, no = res
+    return CellBands(
+        sup_idx=si.reshape(t_pad, s_cap)[:t],
+        sup_cnt=sc.reshape(t_pad)[:t],
+        mid_idx=mi.reshape(t_pad, mid_cap)[:t],
+        mid_cnt=mc.reshape(t_pad)[:t],
+        near_idx=ni.reshape(t_pad, near_cap)[:t],
+        near_cnt=nc.reshape(t_pad)[:t],
+        sup_overflow=jnp.any(so),
         mid_overflow=jnp.any(mo),
         near_overflow=jnp.any(no),
     )
 
 
-def build_mid_tables(
-    groups: GroupInfo, subs: GroupInfo, mid_idx: jax.Array, near_idx: jax.Array
-) -> jax.Array:
-    """Gather per-target mid-band source tables
-    [T, mid_cap*9 + near_cap, 4].
+def build_cell_tables(cells, supers: Supers, bands: CellBands) -> jax.Array:
+    """Per-target source tables [T, sup_cap*9 + mid_cap*9 + near_cap, 4].
 
-    Each MID pair contributes 9 rows: its 8 sub-block monopoles plus the
-    parent monopole with NEGATED mass (the far sweep already added the
-    parent; the anti-row cancels it).  Each NEAR pair contributes only its
-    anti-parent row — its exact P2P comes from the near kernel, which is
-    then pure particle-particle work.  Row layout: [x, y, z, G*mass];
-    padding pairs (id == G) hit an all-zero row.
+    Row layout [x, y, z, G*mass]:
+      * each failing SUPER contributes its 8 member-cell monopoles plus
+        the super monopole with negated mass (the far sweep added it);
+      * each MID cell contributes its 8 child monopoles plus itself
+        negated (band A added the cell monopole);
+      * each NEAR cell contributes only its negated self — its exact P2P
+        comes from the near kernel.
+    Padding ids resolve to an all-zero row.
     """
-    g = groups.com.shape[0]
-    t = mid_idx.shape[0]          # may be a target slab (multi-chip)
-    sub4 = jnp.concatenate(
-        [subs.com, subs.gmass[:, None]], axis=1
-    ).reshape(g, SUB_FACTOR, 4)
-    par4 = jnp.concatenate([groups.com, -groups.gmass[:, None]], axis=1)
-    ext = jnp.concatenate([sub4, par4[:, None, :]], axis=1)   # [G, 9, 4]
-    ext_flat = jnp.concatenate(
-        [ext.reshape(g, 9 * 4), jnp.zeros((1, 9 * 4), jnp.float32)]
-    )
-    mid_tab = ext_flat[mid_idx].reshape(t, -1, 4)             # [T, mid_cap*9, 4]
-    par_ext = jnp.concatenate([par4, jnp.zeros((1, 4), jnp.float32)])
-    near_tab = par_ext[near_idx]                              # [T, near_cap, 4]
-    return jnp.concatenate([mid_tab, near_tab], axis=1)
+    g_cap = cells.gmass.shape[0]
+    n_sup = supers.com.shape[0]
+    t = bands.sup_idx.shape[0]
+
+    cell4 = jnp.concatenate([cells.com, cells.gmass[:, None]], axis=1)
+    extA = jnp.concatenate(
+        [cell4.reshape(n_sup, 8, 4),
+         jnp.concatenate([supers.com, -supers.gmass[:, None]], axis=1)[:, None, :]],
+        axis=1,
+    ).reshape(n_sup, 36)
+    extA = jnp.concatenate([extA, jnp.zeros((1, 36), jnp.float32)])
+    tabA = extA[jnp.minimum(bands.sup_idx, n_sup)].reshape(t, -1, 4)
+
+    child4 = jnp.concatenate(
+        [cells.child_com, cells.child_gmass[..., None]], axis=-1
+    )                                                       # [g_cap, 8, 4]
+    extB = jnp.concatenate(
+        [child4, jnp.concatenate([cells.com, -cells.gmass[:, None]], axis=1)[:, None, :]],
+        axis=1,
+    ).reshape(g_cap, 36)
+    extB = jnp.concatenate([extB, jnp.zeros((1, 36), jnp.float32)])
+    tabB = extB[jnp.minimum(bands.mid_idx, g_cap)].reshape(t, -1, 4)
+
+    anti = jnp.concatenate([cells.com, -cells.gmass[:, None]], axis=1)
+    anti = jnp.concatenate([anti, jnp.zeros((1, 4), jnp.float32)])
+    tabN = anti[jnp.minimum(bands.near_idx, g_cap)]
+
+    return jnp.concatenate([tabA, tabB, tabN], axis=1)
 
 
 def table_sweep_jnp(tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig) -> jax.Array:
@@ -360,15 +452,15 @@ def table_sweep_jnp(tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig) -> ja
     return acc.reshape(-1, 3)
 
 
-def far_sweep_jnp(pos_s: jax.Array, groups: GroupInfo, cfg: SimConfig) -> jax.Array:
-    """Dense N x G monopole forces (jnp twin of the Pallas kernel)."""
+def far_sweep_jnp(pos_s: jax.Array, supers: Supers, cfg: SimConfig) -> jax.Array:
+    """Dense N x S super-monopole forces (jnp twin of the Pallas kernel)."""
     soft = soft_term(cfg)
     b = cfg.force_tile
     blocks = pos_s.reshape(-1, b, 3)
 
     def one(pb):
         # gmass already includes G_CONST, so pass g=1
-        return _panel_accel(pb, groups.com, groups.gmass, 1.0, soft)
+        return _panel_accel(pb, supers.com, supers.gmass, 1.0, soft)
 
     acc = lax.map(one, blocks)
     return acc.reshape(-1, 3)
@@ -376,67 +468,79 @@ def far_sweep_jnp(pos_s: jax.Array, groups: GroupInfo, cfg: SimConfig) -> jax.Ar
 
 def near_correction_jnp(
     tgt_pos: jax.Array, src_pos: jax.Array, src_mass: jax.Array,
-    groups: GroupInfo, near_idx: jax.Array, cfg: SimConfig,
+    cells, near_idx: jax.Array, cfg: SimConfig,
 ) -> jax.Array:
-    """Exact P2P against every near source group (jnp twin of the Pallas
-    kernel; gathers — CPU/tests only).  The matching anti-parent monopole
-    rows live in the mid tables (build_mid_tables), so this band is pure
-    particle-particle work.
+    """Exact P2P against every near cell (jnp twin of the Pallas kernel;
+    gathers — CPU/tests only).  The matching anti-cell monopole rows live
+    in the band tables, so this band is pure particle-particle work.
 
-    Targets may be a slab of the global sorted order (multi-chip); sources
-    and groups are always global.
+    Targets may be a slab of the global sorted order (multi-chip); the
+    source particle arrays and cells are always global.
     """
     b = cfg.force_tile
     n = tgt_pos.shape[0]
-    g = groups.com.shape[0]
+    n_src = src_pos.shape[0]
+    g_cap = cells.gmass.shape[0]
     soft = soft_term(cfg)
     tp3 = tgt_pos.reshape(-1, b, 3)
-    p3 = src_pos.reshape(g, b, 3)
-    m2 = src_mass.reshape(g, b)
+    lane = jnp.arange(b, dtype=_I32)[None, :]
+
+    first_x = jnp.concatenate([cells.first, jnp.zeros((1,), _I32)])
+    count_x = jnp.concatenate([cells.count, jnp.zeros((1,), _I32)])
 
     def one(args):
         pb, idx = args                       # [B,3], [C]
-        ic = jnp.clip(idx, 0, g - 1)
-        q = p3[ic].reshape(-1, 3)            # [C*B, 3] source particles
-        qm = jnp.where(idx[:, None] < g, m2[ic], 0.0).reshape(-1)
+        f = first_x[idx]                     # [C]
+        c = count_x[idx]
+        pick = jnp.clip(f[:, None] + lane, 0, n_src - 1)   # [C, B]
+        ok = lane < c[:, None]
+        q = src_pos[pick].reshape(-1, 3)
+        qm = jnp.where(ok, src_mass[pick], 0.0).reshape(-1)
         return _panel_accel(pb, q, qm, cfg.g, soft)
 
     acc = lax.map(one, (tp3, near_idx))
     return acc.reshape(n, 3)
 
 
-def bh_forces_grouped(pos_s: jax.Array, mass_s: jax.Array, cfg: SimConfig) -> jax.Array:
-    """Production Barnes-Hut forces on Morton-sorted, group-padded arrays.
+def bh_forces_grouped(
+    pos_s: jax.Array, mass_s: jax.Array, codes_s: jax.Array, cfg: SimConfig
+) -> jax.Array:
+    """Production Barnes-Hut forces on Morton-sorted, block-padded arrays.
 
-    three-band telescoping:
-      dense far monopole sweep (all groups)
-    + mid-band sub-monopole tables (parent fails theta, sub-blocks pass)
-    + near-band exact P2P (sub-blocks fail too), each minus the parent
-      monopole the far sweep already applied.
-    Pallas kernels on TPU; jnp twins elsewhere.
+    Hierarchy: supers (8 cells) -> adaptive octree cells (<= force_tile
+    bodies) -> children (depth+1 cells).  Telescoping bands:
+      dense far sweep over all super monopoles
+    + per-target tables: failing supers -> cell monopoles; failing cells
+      with passing children -> child monopoles; each refinement carries an
+      anti-row cancelling the coarser term
+    + exact P2P for cells whose children still fail.
+    Every approximated cell satisfies width/dist < theta for every target
+    particle (conservative sub-sphere bound; criterion per nbody_v5.cu:232).
     """
+    from nbody_tpu.ops.cells import build_source_cells
+
     b = cfg.force_tile
-    groups = make_group_info(pos_s, mass_s, b, cfg.g)
-    subs = make_group_info(pos_s, mass_s, b // SUB_FACTOR, cfg.g)
-    g = groups.com.shape[0]
-    sub_diam_max = jnp.max(subs.diam.reshape(g, SUB_FACTOR), axis=1)
-    bands = band_lists(groups, sub_diam_max, cfg, tgt_subs=subs)
-    mid_tab = build_mid_tables(groups, subs, bands.mid_idx, bands.near_idx)
+    g_cap = cfg.cell_capacity
+    cells = build_source_cells(codes_s, pos_s, mass_s, b, cfg.g, g_cap)
+    supers = make_supers(cells)
+    tgt_subs = target_subspheres(pos_s, b)
+    bands = cell_band_lists(tgt_subs, supers, cells, cfg)
+    tables = build_cell_tables(cells, supers, bands)
 
     if cfg.use_pallas:
         from nbody_tpu.ops.pallas.forces import (
             far_sweep_pallas, table_sweep_pallas, near_correction_pallas,
         )
 
-        far = far_sweep_pallas(pos_s, groups, cfg)
-        mid = table_sweep_pallas(pos_s, mid_tab, cfg)
+        far = far_sweep_pallas(pos_s, supers, cfg)
+        mid = table_sweep_pallas(pos_s, tables, cfg)
         near = near_correction_pallas(
-            pos_s, pos_s, mass_s, groups, bands.near_idx, bands.near_cnt, cfg
+            pos_s, pos_s, mass_s, cells, bands.near_idx, bands.near_cnt, cfg
         )
     else:
-        far = far_sweep_jnp(pos_s, groups, cfg)
-        mid = table_sweep_jnp(pos_s, mid_tab, cfg)
+        far = far_sweep_jnp(pos_s, supers, cfg)
+        mid = table_sweep_jnp(pos_s, tables, cfg)
         near = near_correction_jnp(
-            pos_s, pos_s, mass_s, groups, bands.near_idx, cfg
+            pos_s, pos_s, mass_s, cells, bands.near_idx, cfg
         )
     return far + mid + near

@@ -1,19 +1,21 @@
-"""Pallas TPU kernels for the two-level dense Barnes-Hut force path.
+"""Pallas TPU kernels for the hierarchical dense Barnes-Hut force path.
 
 Replaces the CUDA computeForceKernel's gather-heavy per-thread tree walk
-(nbody_v5.cu:215-249) with two dense kernels (see ops/forces.py for the
-decomposition and why: XLA gather costs ~5-10 ns/element on TPU, so the
-TPU-native design never gathers on the hot path):
+(nbody_v5.cu:215-249) with three dense kernels (see ops/forces.py for the
+band decomposition and why: XLA gather costs ~5-10 ns/element on TPU, so
+the TPU-native design never gathers on the hot path):
 
-  * `far_sweep_pallas`      — every particle block (B x 3) against every
-    group monopole, streamed as flat planar chunks of the (G x 4) group
-    table.  Pure dense VPU panels.
-  * `near_correction_pallas` — for each target group, loop over its
-    MAC-failing source groups (indices scalar-prefetched into SMEM); each
-    source group's particles are CONTIGUOUS in the Morton-sorted arrays,
-    so they arrive via block DMA from HBM, double-buffered.  The kernel
-    adds the exact (B x B) particle-particle panel and subtracts the
-    monopole the far sweep already applied.
+  * `far_sweep_pallas`       — every particle block (B x 3) against every
+    SUPER monopole, streamed as flat planar chunks.  Pure dense VPU
+    panels.
+  * `table_sweep_pallas`     — the same panel math over PER-TARGET band
+    tables (cell/child monopoles + anti-rows) gathered by the band
+    classifier.
+  * `near_correction_pallas` — exact P2P against near source cells.  A
+    cell's particles are CONTIGUOUS in the Morton-sorted arrays, so they
+    arrive as 128-aligned block DMAs (KSEG spans per wait round, double
+    buffered); per-cell list rows are DMA'd into SMEM for scalar
+    indexing.
 
 Layout notes (fp32 tiles are (8,128), lanes last — see the Pallas guide):
 panels are (B, LC) with sources on lanes; no transposes anywhere; the
@@ -180,9 +182,11 @@ def table_sweep_pallas(tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig) ->
 
 def _near_kernel(
     # scalar prefetch
-    cnt_ref,             # (G,) int32 in SMEM
+    cnt_ref,             # (T,) int32 SMEM — near-list lengths
+    cfirst_ref,          # (Gc,) int32 SMEM — cell start indices
+    ccount_ref,          # (Gc,) int32 SMEM — cell particle counts
     # tensor inputs
-    near_ref,            # (G, C) int32 HBM — near lists
+    near_ref,            # (T, C) int32 HBM — near lists (cell ids)
     pos_ref,             # (1, B, 3) VMEM — target block
     srcm_ref,            # (4, N) HBM — planar [x; y; z; mass], Morton order
     # output
@@ -190,39 +194,49 @@ def _near_kernel(
     # scratch
     idx_smem,            # (C,) int32 SMEM — this target's near list
     idx_sem,             # DMA semaphore
-    buf,                 # (2, 4, KSEG*B) VMEM — double-buffered segments
+    buf,                 # (2, 4, KSEG*B) VMEM — pipelined source spans
     sem,                 # DMA semaphores (2, KSEG)
     *,
     b: int,
     cap: int,
+    n_src: int,
     soft: float,
     g_const: float,
 ):
-    """Pure P2P: each iteration fetches a SEGMENT of KSEG source blocks
-    (KSEG DMAs issued together, one wait round) and evaluates one
-    (B x KSEG*B) panel — amortizing loop and DMA-wait overhead KSEG-fold.
-    The matching anti-parent monopoles are handled by the mid-table sweep.
+    """Pure P2P against variable-count source CELLS: each near cell is a
+    contiguous span [first, first+count) of the sorted arrays with
+    count <= B.  A fixed B-wide window starting at min(first, N-B) is
+    DMA'd; lanes outside [first, first+count) are masked.  Each loop
+    iteration fetches a SEGMENT of KSEG spans (one wait round) and
+    evaluates KSPLIT sub-panels.  The matching anti-cell monopoles are
+    handled by the band-table sweep.
     """
     i = pl.program_id(0)
     cnt = cnt_ref[i]
     n_seg = lax.div(cnt + KSEG - 1, KSEG)
     p = pos_ref[0]                       # (B, 3)
     px, py, pz = p[:, 0:1], p[:, 1:2], p[:, 2:3]
+    wspan = b + 128                      # aligned span window
 
-    # The full (G, C) list table exceeds SMEM, so each program DMAs just
+    # The full (T, C) list table exceeds SMEM, so each program DMAs just
     # its own row (dynamic scalar indexing is an SMEM-only operation).
     row_dma = pltpu.make_async_copy(near_ref.at[i], idx_smem, idx_sem)
     row_dma.start()
     row_dma.wait()
 
-    def seg_dma(slot, s, j):
-        # list entries past cnt are clamped source ids — their
-        # contribution is masked out in the panel
-        k = s * KSEG + j
+    def span_start(k):
+        # HBM DMA slices must be 128-lane aligned: window = the aligned
+        # b+128 span containing [first, first+count)
         h = idx_smem[jnp.minimum(k, cap - 1)]
+        raw = jnp.minimum(cfirst_ref[h], n_src - wspan)
+        return pl.multiple_of(raw // 128 * 128, 128)
+
+    def seg_dma(slot, s, j):
+        # list entries past cnt are clamped ids — masked out in the panel
+        k = s * KSEG + j
         return pltpu.make_async_copy(
-            srcm_ref.at[:, pl.ds(h * b, b)],
-            buf.at[slot, :, pl.ds(j * b, b)],
+            srcm_ref.at[:, pl.ds(span_start(k), wspan)],
+            buf.at[slot, :, pl.ds(j * wspan, wspan)],
             sem.at[slot, j],
         )
 
@@ -238,8 +252,9 @@ def _near_kernel(
     def _pre():
         start_seg(0, 0)
 
-    kb = KSEG // KSPLIT * b
-    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (1, kb), 1) // b
+    per = KSEG // KSPLIT
+    kb = per * wspan
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, kb), 1) % wspan
 
     def body(s, acc):
         slot = lax.rem(s, 2)
@@ -251,8 +266,19 @@ def _near_kernel(
         wait_seg(slot, s)
         for half in range(KSPLIT):       # bound panel temporaries
             q = buf[slot, :, half * kb:(half + 1) * kb]   # (4, kb)
-            in_seg = cnt - s * KSEG - half * (KSEG // KSPLIT)
-            valid = lane_blk < in_seg    # list entries in this sub-panel
+            # per-span validity: lane within [off, off+count) of its span
+            offs = []
+            cnts = []
+            for j in range(per):
+                k = s * KSEG + half * per + j
+                h = idx_smem[jnp.minimum(k, cap - 1)]
+                off = cfirst_ref[h] - span_start(k)
+                c = jnp.where(k < cnt, ccount_ref[h], 0)
+                offs.append(jnp.full((1, wspan), off, jnp.int32))
+                cnts.append(jnp.full((1, wspan), c, jnp.int32))
+            off_v = jnp.concatenate(offs, axis=1)          # (1, kb)
+            cnt_v = jnp.concatenate(cnts, axis=1)
+            valid = (lane_l >= off_v) & (lane_l < off_v + cnt_v)
             qm = jnp.where(valid, g_const * q[3:4, :], 0.0)
             dx = q[0:1, :] - px          # (B, kb)
             dy = q[1:2, :] - py
@@ -274,36 +300,41 @@ def near_correction_pallas(
     tgt_pos: jax.Array,
     src_pos: jax.Array,
     src_mass: jax.Array,
-    groups,
+    cells,
     near_idx: jax.Array,
     near_cnt: jax.Array,
     cfg: SimConfig,
 ) -> jax.Array:
-    """Exact-P2P-minus-monopole correction for MAC-failing source groups;
-    twin of forces.near_correction_jnp.  Targets may be a slab of the
-    sorted order; sources/groups are global."""
+    """Exact P2P against near source cells; twin of
+    forces.near_correction_jnp.  Targets may be a slab of the sorted
+    order; the source arrays and cells are global."""
     from nbody_tpu.ops.forces import soft_term
 
     n = tgt_pos.shape[0]
+    n_src = src_pos.shape[0]
     b = cfg.force_tile
-    g = groups.com.shape[0]
+    g_cap = cells.gmass.shape[0]
     t = n // b
     cap = near_idx.shape[1]
 
     srcm = jnp.concatenate([src_pos.T, src_mass[None, :]], axis=0)  # (4, N) planar
-    # clamp padding entries (== g) to a real index; their contribution is
-    # masked in-kernel, but the DMA address space stays valid
-    near_safe = jnp.minimum(near_idx, g - 1)
+    # clamp padding entries (== g_cap) to the last table slot; padded
+    # cells have count 0, so their lanes are masked in-kernel
+    near_safe = jnp.minimum(near_idx, g_cap - 1)
     # HBM->SMEM row DMAs need a 128-aligned minor dimension
     cap2 = -(-cap // 128) * 128
     if cap2 != cap:
         near_safe = jnp.pad(near_safe, ((0, 0), (0, cap2 - cap)))
+    # cell tables for the kernel: padded cells get first 0 / count 0
+    cfirst = jnp.where(cells.count > 0, cells.first, 0).astype(jnp.int32)
+    ccount = cells.count.astype(jnp.int32)
 
     kernel = functools.partial(
-        _near_kernel, b=b, cap=cap2, soft=float(soft_term(cfg)), g_const=float(cfg.g)
+        _near_kernel, b=b, cap=cap2, n_src=n_src,
+        soft=float(soft_term(cfg)), g_const=float(cfg.g),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -314,7 +345,7 @@ def near_correction_pallas(
         scratch_shapes=[
             pltpu.SMEM((cap2,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.VMEM((2, 4, KSEG * b), jnp.float32),
+            pltpu.VMEM((2, 4, KSEG * (b + 128)), jnp.float32),
             pltpu.SemaphoreType.DMA((2, KSEG)),
         ],
     )
@@ -328,6 +359,6 @@ def near_correction_pallas(
             bytes_accessed=n * cap * 16 // 4,
             transcendentals=n * cap * b // 4,
         ),
-    )(near_cnt.astype(jnp.int32), near_safe.astype(jnp.int32),
-      tgt_pos.reshape(t, b, 3), srcm)
+    )(near_cnt.astype(jnp.int32), cfirst, ccount,
+      near_safe.astype(jnp.int32), tgt_pos.reshape(t, b, 3), srcm)
     return acc.reshape(n, 3)

@@ -71,37 +71,49 @@ def _local_bh_step(pos, vel, mass, acc, cfg: SimConfig):
     n_total = pos_g.shape[0]
     n_local = n_total // d
 
-    b = cfg.force_tile
-    groups = forces.make_group_info(pos_s, mass_s, b, cfg.g)
-    subs = forces.make_group_info(pos_s, mass_s, b // forces.SUB_FACTOR, cfg.g)
-    g_all = groups.com.shape[0]
-    sub_diam_max = jnp.max(subs.diam.reshape(g_all, forces.SUB_FACTOR), axis=1)
-    bands = forces.band_lists(groups, sub_diam_max, cfg, tgt_subs=subs)
+    from nbody_tpu.ops.cells import build_source_cells
 
-    # my slab of targets (contiguous groups => contiguous particles)
+    b = cfg.force_tile
+    cells = build_source_cells(codes_s, pos_s, mass_s, b, cfg.g, cfg.cell_capacity)
+    supers = forces.make_supers(cells)
+    tgt_subs = forces.target_subspheres(pos_s, b)
+    bands = forces.cell_band_lists(tgt_subs, supers, cells, cfg)
+
+    # my slab of targets (contiguous blocks => contiguous particles)
     t_total = n_total // b
     t_local = t_total // d
     start_p = me * (t_local * b)
     my_pos = jax.lax.dynamic_slice_in_dim(pos_s, start_p, t_local * b, 0)
-    my_mid = jax.lax.dynamic_slice_in_dim(bands.mid_idx, me * t_local, t_local, 0)
-    my_near = jax.lax.dynamic_slice_in_dim(bands.near_idx, me * t_local, t_local, 0)
-    my_cnt = jax.lax.dynamic_slice_in_dim(bands.near_cnt, me * t_local, t_local, 0)
-    my_tab = forces.build_mid_tables(groups, subs, my_mid, my_near)
+
+    def _slab(x):
+        return jax.lax.dynamic_slice_in_dim(x, me * t_local, t_local, 0)
+
+    my_bands = forces.CellBands(
+        sup_idx=_slab(bands.sup_idx), sup_cnt=_slab(bands.sup_cnt),
+        mid_idx=_slab(bands.mid_idx), mid_cnt=_slab(bands.mid_cnt),
+        near_idx=_slab(bands.near_idx), near_cnt=_slab(bands.near_cnt),
+        sup_overflow=bands.sup_overflow,
+        mid_overflow=bands.mid_overflow,
+        near_overflow=bands.near_overflow,
+    )
+    my_tab = forces.build_cell_tables(cells, supers, my_bands)
 
     if cfg.use_pallas:
         from nbody_tpu.ops.pallas.forces import (
             far_sweep_pallas, table_sweep_pallas, near_correction_pallas,
         )
 
-        far = far_sweep_pallas(my_pos, groups, cfg)
+        far = far_sweep_pallas(my_pos, supers, cfg)
         mid = table_sweep_pallas(my_pos, my_tab, cfg)
         corr = near_correction_pallas(
-            my_pos, pos_s, mass_s, groups, my_near, my_cnt, cfg
+            my_pos, pos_s, mass_s, cells, my_bands.near_idx, my_bands.near_cnt, cfg
         )
     else:
-        far = forces.far_sweep_jnp(my_pos, groups, cfg)
+        far = forces.far_sweep_jnp(my_pos, supers, cfg)
         mid = forces.table_sweep_jnp(my_pos, my_tab, cfg)
-        corr = forces.near_correction_jnp(my_pos, pos_s, mass_s, groups, my_near, cfg)
+        corr = forces.near_correction_jnp(
+            my_pos, pos_s, mass_s, cells, my_bands.near_idx, cfg
+        )
     acc_slab = far + mid + corr
 
     # Re-assemble sorted acc and route back to original sharded order.

@@ -101,18 +101,22 @@ def phase_times(
     def ph_tree(codes_s, pos_s, mass_s, size):
         return build_tree(codes_s, pos_s, mass_s, size)
 
-    pos_p, mass_p = forces.pad_to_groups(pos_s, mass_s, cfg.force_tile)
     b = cfg.force_tile
+    pos_p, mass_p, codes_p = forces.pad_sorted(pos_s, mass_s, codes_s, b)
 
     @jax.jit
-    def ph_groups(pos_p, mass_p):
-        gi = forces.make_group_info(pos_p, mass_p, b, cfg.g)
-        subs = forces.make_group_info(pos_p, mass_p, b // forces.SUB_FACTOR, cfg.g)
-        sdm = jnp.max(subs.diam.reshape(gi.com.shape[0], forces.SUB_FACTOR), axis=1)
-        bands = forces.band_lists(gi, sdm, cfg, tgt_subs=subs)
-        return gi, forces.build_mid_tables(gi, subs, bands.mid_idx, bands.near_idx), bands
+    def ph_groups(pos_p, mass_p, codes_p):
+        from nbody_tpu.ops.cells import build_source_cells
 
-    groups, mid_tab, bands = jax.block_until_ready(ph_groups(pos_p, mass_p))
+        cells = build_source_cells(codes_p, pos_p, mass_p, b, cfg.g, cfg.cell_capacity)
+        supers = forces.make_supers(cells)
+        tgt_subs = forces.target_subspheres(pos_p, b)
+        bands = forces.cell_band_lists(tgt_subs, supers, cells, cfg)
+        return cells, supers, forces.build_cell_tables(cells, supers, bands), bands
+
+    cells, supers, mid_tab, bands = jax.block_until_ready(
+        ph_groups(pos_p, mass_p, codes_p)
+    )
 
     if cfg.use_pallas:
         from nbody_tpu.ops.pallas.forces import (
@@ -128,20 +132,20 @@ def phase_times(
         )
 
     @jax.jit
-    def ph_far(pos_p, groups):
-        return far_fn(pos_p, groups, cfg)
+    def ph_far(pos_p, supers):
+        return far_fn(pos_p, supers, cfg)
 
     @jax.jit
     def ph_mid(pos_p, mid_tab):
         return mid_fn(pos_p, mid_tab, cfg)
 
     @jax.jit
-    def ph_near(pos_p, mass_p, groups, near_idx, near_cnt):
-        return near_fn(pos_p, pos_p, mass_p, groups, near_idx, near_cnt, cfg)
+    def ph_near(pos_p, mass_p, cells, near_idx, near_cnt):
+        return near_fn(pos_p, pos_p, mass_p, cells, near_idx, near_cnt, cfg)
 
     acc_s = jax.block_until_ready(
-        ph_far(pos_p, groups) + ph_mid(pos_p, mid_tab)
-        + ph_near(pos_p, mass_p, groups, bands.near_idx, bands.near_cnt)
+        ph_far(pos_p, supers) + ph_mid(pos_p, mid_tab)
+        + ph_near(pos_p, mass_p, cells, bands.near_idx, bands.near_cnt)
     )[: pos.shape[0]]
 
     @jax.jit
@@ -150,10 +154,10 @@ def phase_times(
 
     out = {
         "sort_ms": time_fn(ph_sort, pos, iters=iters)["median_ms"],
-        "groups_ms": time_fn(ph_groups, pos_p, mass_p, iters=iters)["median_ms"],
-        "far_ms": time_fn(ph_far, pos_p, groups, iters=iters)["median_ms"],
+        "groups_ms": time_fn(ph_groups, pos_p, mass_p, codes_p, iters=iters)["median_ms"],
+        "far_ms": time_fn(ph_far, pos_p, supers, iters=iters)["median_ms"],
         "mid_ms": time_fn(ph_mid, pos_p, mid_tab, iters=iters)["median_ms"],
-        "near_ms": time_fn(ph_near, pos_p, mass_p, groups, bands.near_idx, bands.near_cnt, iters=iters)["median_ms"],
+        "near_ms": time_fn(ph_near, pos_p, mass_p, cells, bands.near_idx, bands.near_cnt, iters=iters)["median_ms"],
         "integrate_ms": time_fn(ph_integrate, state, acc_s, iters=iters)["median_ms"],
     }
     if include_tree:

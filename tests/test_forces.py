@@ -86,112 +86,136 @@ def _sorted_grouped(pos, mass, cfg):
     codes = _morton.encode30(pos, lo, size)
     sc, perm = _morton.morton_sort_30(codes)
     pos_s, mass_s = pos[perm], mass[perm]
-    return forces.pad_to_groups(pos_s, mass_s, cfg.force_tile)
+    return forces.pad_sorted(pos_s, mass_s, sc, cfg.force_tile)
 
 
-def _bands(pos_s, mass_s, cfg):
-    b = cfg.force_tile
-    gi = forces.make_group_info(pos_s, mass_s, b, cfg.g)
-    subs = forces.make_group_info(pos_s, mass_s, b // forces.SUB_FACTOR, cfg.g)
-    g = gi.com.shape[0]
-    sdm = np.asarray(subs.diam).reshape(g, forces.SUB_FACTOR).max(1)
-    bands = forces.band_lists(gi, jnp.asarray(sdm), cfg, tgt_subs=subs)
-    return gi, subs, sdm, bands
+def _hierarchy(pos_s, mass_s, codes_s, cfg):
+    from nbody_tpu.ops.cells import build_source_cells
+
+    cells = build_source_cells(
+        codes_s, pos_s, mass_s, cfg.force_tile, cfg.g, cfg.cell_capacity
+    )
+    supers = forces.make_supers(cells)
+    tgt_subs = forces.target_subspheres(pos_s, cfg.force_tile)
+    bands = forces.cell_band_lists(tgt_subs, supers, cells, cfg)
+    return cells, supers, tgt_subs, bands
 
 
-def test_group_info_spheres_and_monopoles():
+def test_supers_aggregate_cells():
     n = 2048
-    cfg = SimConfig(n=n, theta=0.5, force_tile=256, use_pallas=False)
+    cfg = SimConfig(n=n, theta=0.5, force_tile=128, use_pallas=False,
+                    sup_cap=64, mid_cap=512, near_cap=256)
     pos, mass = _cloud(n, seed=4)
-    pos_s, mass_s = _sorted_grouped(pos, mass, cfg)
-    gi = forces.make_group_info(pos_s, mass_s, 256, cfg.g)
-    g = n // 256
-    ps = np.asarray(pos_s).reshape(g, 256, 3)
-    ms = np.asarray(mass_s).reshape(g, 256)
-    np.testing.assert_allclose(np.asarray(gi.gmass), cfg.g * ms.sum(1), rtol=1e-5)
-    want_com = (ps * ms[..., None]).sum(1) / ms.sum(1)[:, None]
-    np.testing.assert_allclose(np.asarray(gi.com), want_com, rtol=1e-4, atol=1e-2)
-    # spheres contain their particles
-    d = np.linalg.norm(ps - np.asarray(gi.center)[:, None, :], axis=-1)
-    assert np.all(d.max(1) <= np.asarray(gi.radius) * (1 + 1e-5) + 1e-4)
-    # MAC size is the max bbox extent (v5 cell-width semantics)
-    ext = ps.max(1) - ps.min(1)
-    np.testing.assert_allclose(np.asarray(gi.diam), ext.max(-1), rtol=1e-6)
+    pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
+    cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
+    gm = np.asarray(cells.gmass)
+    sm = np.asarray(supers.gmass)
+    np.testing.assert_allclose(sm, gm.reshape(-1, 8).sum(1), rtol=1e-5)
+    np.testing.assert_allclose(sm.sum(), cfg.g * np.asarray(mass_s).sum(), rtol=1e-4)
+    # super com is the mass-weighted mean of member-cell coms
+    com = np.asarray(cells.com).reshape(-1, 8, 3)
+    want = (com * gm.reshape(-1, 8)[..., None]).sum(1) / np.maximum(
+        gm.reshape(-1, 8).sum(1), 1e-20
+    )[:, None]
+    ok = sm > 0
+    np.testing.assert_allclose(np.asarray(supers.com)[ok], want[ok], rtol=1e-3, atol=1e-2)
 
 
-def test_band_lists_partition_against_numpy():
-    """Recompute the band classification in numpy and check the compacted
-    lists match: far/mid/near partition every source for every target."""
+def test_cell_band_partition_against_numpy():
+    """Recompute the two-stage classification in numpy: every (target,
+    cell) pair is far / mid / near consistently with the compacted lists,
+    and every approximated cell satisfies width/dist < theta."""
     n = 2048
-    cfg = SimConfig(n=n, theta=0.5, force_tile=256, use_pallas=False)
+    cfg = SimConfig(n=n, theta=0.5, force_tile=128, use_pallas=False,
+                    sup_cap=64, mid_cap=512, near_cap=256)
     pos, mass = _cloud(n, seed=5)
-    pos_s, mass_s = _sorted_grouped(pos, mass, cfg)
-    gi, subs, sdm, bands = _bands(pos_s, mass_s, cfg)
-    g = gi.com.shape[0]
-    com = np.asarray(gi.com)
+    pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
+    cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
+    assert not bool(bands.sup_overflow)
+    assert not bool(bands.mid_overflow)
+    assert not bool(bands.near_overflow)
+
+    t = pos_s.shape[0] // cfg.force_tile
     s = forces.SUB_FACTOR
-    ctr = np.asarray(subs.center).reshape(g, s, 3)
-    rad = np.asarray(subs.radius).reshape(g, s)
-    diam = np.asarray(gi.diam)
+    ctr = np.asarray(tgt_subs.center).reshape(t, s, 3)
+    rad = np.asarray(tgt_subs.radius).reshape(t, s)
     soft = forces.soft_term(cfg)
+    th = cfg.theta
 
-    mid_np = np.asarray(bands.mid_idx)
-    near_np = np.asarray(bands.near_idx)
-    mc, nc = np.asarray(bands.mid_cnt), np.asarray(bands.near_cnt)
-    assert not bool(bands.mid_overflow) and not bool(bands.near_overflow)
-    for t in range(g):
-        gap_s = np.maximum(
-            np.linalg.norm(com[:, None, :] - ctr[t][None, :, :], axis=-1)
-            - rad[t][None, :], 0.0,
+    sup_com = np.asarray(supers.com)
+    sup_diam = np.asarray(supers.diam)
+    c_com = np.asarray(cells.com)
+    c_diam = np.asarray(cells.diam)
+    c_cdm = np.asarray(cells.child_diam_max)
+    g_cap = c_com.shape[0]
+
+    def min_gap(coms, tc, tr):
+        gap = np.linalg.norm(coms[:, None, :] - tc[None, :, :], axis=-1) - tr[None, :]
+        return np.maximum(gap.min(axis=1), 0.0)
+
+    si, sc = np.asarray(bands.sup_idx), np.asarray(bands.sup_cnt)
+    mi, mc = np.asarray(bands.mid_idx), np.asarray(bands.mid_cnt)
+    ni, nc = np.asarray(bands.near_idx), np.asarray(bands.near_cnt)
+    for ti in range(t):
+        dist2 = np.sqrt(min_gap(sup_com, ctr[ti], rad[ti]) ** 2 + soft)
+        fail2 = sup_diam / dist2 >= th
+        assert set(si[ti, : sc[ti]]) == set(np.nonzero(fail2)[0])
+        # candidate cells of failing supers
+        cand = sorted(
+            c for H in np.nonzero(fail2)[0] for c in range(8 * H, 8 * H + 8)
         )
-        gap = gap_s.min(axis=1)
-        dist = np.sqrt(gap * gap + soft)
-        fail0 = diam / dist >= cfg.theta
-        sub_ok = sdm / dist < cfg.theta
-        want_mid = set(np.nonzero(fail0 & sub_ok)[0])
-        want_near = set(np.nonzero(fail0 & ~sub_ok)[0])
-        assert set(mid_np[t, : mc[t]]) == want_mid
-        assert set(near_np[t, : nc[t]]) == want_near
-        assert np.all(mid_np[t, mc[t]:] == g)
-        assert np.all(near_np[t, nc[t]:] == g)
+        cand = [c for c in cand if c < g_cap]
+        distc = np.sqrt(min_gap(c_com[cand], ctr[ti], rad[ti]) ** 2 + soft)
+        failc = c_diam[cand] / distc >= th
+        midm = failc & (c_cdm[cand] / distc < th)
+        nearm = failc & ~midm
+        want_mid = {cand[k] for k in np.nonzero(midm)[0]}
+        want_near = {cand[k] for k in np.nonzero(nearm)[0]}
+        assert set(mi[ti, : mc[ti]]) == want_mid
+        assert set(ni[ti, : nc[ti]]) == want_near
 
 
-def test_mid_tables_telescoping():
-    """A mid pair's 9 table rows must sum (in mass) to zero net-added mass
-    beyond the 8 sub monopoles: subs' gmass - parent gmass == 0."""
+def test_cell_tables_telescoping():
+    """Sum of table masses per target == 0 net beyond refinement: each
+    failing super's 8 cells minus itself, each mid cell's children minus
+    itself, each near cell minus itself."""
     n = 2048
-    cfg = SimConfig(n=n, theta=0.5, force_tile=256, use_pallas=False)
+    cfg = SimConfig(n=n, theta=0.5, force_tile=128, use_pallas=False,
+                    sup_cap=64, mid_cap=512, near_cap=256)
     pos, mass = _cloud(n, seed=5)
-    pos_s, mass_s = _sorted_grouped(pos, mass, cfg)
-    gi, subs, sdm, bands = _bands(pos_s, mass_s, cfg)
-    tab = np.asarray(forces.build_mid_tables(gi, subs, bands.mid_idx, bands.near_idx))
-    g = gi.com.shape[0]
-    mc = np.asarray(bands.mid_cnt)
+    pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
+    cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
+    tab = np.asarray(forces.build_cell_tables(cells, supers, bands))
     nc = np.asarray(bands.near_cnt)
-    mid_cols = cfg.mid_cap * 9
-    near_part = tab[:, mid_cols:, :]
-    tab9 = tab[:, :mid_cols, :].reshape(g, -1, 9, 4)
-    # near anti-parent rows carry negative mass for real entries
-    for t in range(min(g, 4)):
-        assert np.all(near_part[t, : nc[t], 3] <= 0.0)
-        assert np.all(near_part[t, nc[t]:, :] == 0.0)
-    for t in range(min(g, 4)):
-        for k in range(mc[t]):
-            assert abs(tab9[t, k, :, 3].sum()) < 1e-2   # subs - parent ~ 0
-        # padding rows are all zero
-        assert np.all(tab9[t, mc[t]:] == 0.0)
+    ni = np.asarray(bands.near_idx)
+    gm = np.asarray(cells.gmass)
+    a_cols = cfg.sup_cap * 9
+    b_cols = cfg.mid_cap * 9
+    for ti in range(min(tab.shape[0], 4)):
+        # A rows: 8 cells - super => net 0; B rows: children - cell => 0
+        np.testing.assert_allclose(tab[ti, :a_cols, 3].sum(), 0.0, atol=2e-2)
+        np.testing.assert_allclose(
+            tab[ti, a_cols:a_cols + b_cols, 3].sum(), 0.0, atol=2e-2
+        )
+        # N rows: minus each near cell's mass
+        want = -gm[ni[ti, : nc[ti]]].sum()
+        np.testing.assert_allclose(
+            tab[ti, a_cols + b_cols:, 3].sum(), want, rtol=1e-4, atol=1e-3
+        )
 
 
 def test_grouped_matches_direct_within_theta_error():
-    """Every far group satisfies the conservative MAC, every near group is
-    exact -> error vs direct must be bounded by the theta tolerance and be
-    no worse than the per-particle reference walk."""
+    """Every approximated cell satisfies the conservative MAC, every near
+    cell is exact -> error vs direct must be bounded by the theta
+    tolerance and no worse than the per-particle reference walk."""
     n = 2048
-    cfg = SimConfig(n=n, theta=0.5, force_tile=256, use_pallas=False)
+    cfg = SimConfig(n=n, theta=0.5, force_tile=256, use_pallas=False,
+                    sup_cap=32, mid_cap=256, near_cap=128)
     pos, mass = _cloud(n, seed=4)
     tree, pos_s, mass_s, _ = _sorted_tree(pos, mass, cfg)
     acc_ref = np.asarray(forces.bh_forces_reference(pos_s, tree, cfg))
-    acc_grp = np.asarray(forces.bh_forces_grouped(pos_s, mass_s, cfg))
+    pos_p, mass_p, codes_p = _sorted_grouped(pos, mass, cfg)
+    acc_grp = np.asarray(forces.bh_forces_grouped(pos_p, mass_p, codes_p, cfg))[:n]
     acc_dir = np.asarray(forces.direct_forces(pos_s, mass_s, cfg))
     err_ref = np.linalg.norm(acc_ref - acc_dir, axis=1).mean()
     err_grp = np.linalg.norm(acc_grp - acc_dir, axis=1).mean()
@@ -203,83 +227,59 @@ def test_grouped_matches_direct_within_theta_error():
 def test_band_sum_equals_full_decomposition():
     """far + mid + near must equal bh_forces_grouped exactly."""
     n = 1024
-    cfg = SimConfig(n=n, theta=0.5, force_tile=128, use_pallas=False)
+    cfg = SimConfig(n=n, theta=0.5, force_tile=128, use_pallas=False,
+                    sup_cap=64, mid_cap=512, near_cap=256)
     pos, mass = _cloud(n, seed=6)
-    pos_s, mass_s = _sorted_grouped(pos, mass, cfg)
-    gi, subs, sdm, bands = _bands(pos_s, mass_s, cfg)
-    tab = forces.build_mid_tables(gi, subs, bands.mid_idx, bands.near_idx)
-    far = np.asarray(forces.far_sweep_jnp(pos_s, gi, cfg))
+    pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
+    cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
+    tab = forces.build_cell_tables(cells, supers, bands)
+    far = np.asarray(forces.far_sweep_jnp(pos_s, supers, cfg))
     mid = np.asarray(forces.table_sweep_jnp(pos_s, tab, cfg))
     corr = np.asarray(
-        forces.near_correction_jnp(pos_s, pos_s, mass_s, gi, bands.near_idx, cfg)
+        forces.near_correction_jnp(pos_s, pos_s, mass_s, cells, bands.near_idx, cfg)
     )
-    total = np.asarray(forces.bh_forces_grouped(pos_s, mass_s, cfg))
+    total = np.asarray(forces.bh_forces_grouped(pos_s, mass_s, codes_s, cfg))
     np.testing.assert_allclose(far + mid + corr, total, rtol=1e-5, atol=1e-5)
 
 
 def test_pallas_matches_jnp_far_mid_near():
     n = 1024
-    cfg = SimConfig(n=n, theta=0.5, force_tile=128, use_pallas=False)
+    cfg = SimConfig(n=n, theta=0.5, force_tile=128, use_pallas=False,
+                    sup_cap=64, mid_cap=512, near_cap=256)
     pos, mass = _cloud(n, seed=6)
-    pos_s, mass_s = _sorted_grouped(pos, mass, cfg)
-    gi, subs, sdm, bands = _bands(pos_s, mass_s, cfg)
-    tab = forces.build_mid_tables(gi, subs, bands.mid_idx, bands.near_idx)
+    pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
+    cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
+    tab = forces.build_cell_tables(cells, supers, bands)
 
     from nbody_tpu.ops.pallas.forces import (
         far_sweep_pallas, table_sweep_pallas, near_correction_pallas,
     )
 
-    f_jnp = forces.far_sweep_jnp(pos_s, gi, cfg)
-    f_pal = far_sweep_pallas(pos_s, gi, cfg)
+    f_jnp = forces.far_sweep_jnp(pos_s, supers, cfg)
+    f_pal = far_sweep_pallas(pos_s, supers, cfg)
     np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_jnp), rtol=2e-5, atol=2e-4)
 
     m_jnp = forces.table_sweep_jnp(pos_s, tab, cfg)
     m_pal = table_sweep_pallas(pos_s, tab, cfg)
     np.testing.assert_allclose(np.asarray(m_pal), np.asarray(m_jnp), rtol=2e-5, atol=2e-4)
 
-    c_jnp = forces.near_correction_jnp(pos_s, pos_s, mass_s, gi, bands.near_idx, cfg)
+    c_jnp = forces.near_correction_jnp(pos_s, pos_s, mass_s, cells, bands.near_idx, cfg)
     c_pal = near_correction_pallas(
-        pos_s, pos_s, mass_s, gi, bands.near_idx, bands.near_cnt, cfg
+        pos_s, pos_s, mass_s, cells, bands.near_idx, bands.near_cnt, cfg
     )
     np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_jnp), rtol=2e-5, atol=2e-4)
 
 
 def test_pad_to_groups_massless():
     n = 1000
-    cfg = SimConfig(n=n, force_tile=256, use_pallas=False)
+    cfg = SimConfig(n=n, force_tile=256, use_pallas=False,
+                    sup_cap=16, mid_cap=128, near_cap=64)
     pos, mass = _cloud(n, seed=7)
-    pos_p, mass_p = forces.pad_to_groups(pos, mass, 256)
+    pos_p, mass_p, codes_p = _sorted_grouped(pos, mass, cfg)
     assert pos_p.shape[0] == 1024
     assert float(jnp.sum(mass_p[n:])) == 0.0
     # padded bodies change nothing for real bodies
-    acc_pad = np.asarray(forces.bh_forces_grouped(pos_p, mass_p, cfg))[:n]
-    # direct forces on the unpadded set
-    acc_dir = np.asarray(forces.direct_forces(pos, mass, cfg))
+    acc_pad = np.asarray(forces.bh_forces_grouped(pos_p, mass_p, codes_p, cfg))[:n]
+    acc_dir = np.asarray(forces.direct_forces(pos_p[:n], mass_p[:n], cfg))
     den = np.linalg.norm(acc_dir, axis=1) + 1e-12
     assert np.median(np.linalg.norm(acc_pad - acc_dir, axis=1) / den) < 0.02
-
-
-def test_compute_bh_acc_original_order_and_padding():
-    # n NOT a multiple of force_tile: exercises the padding path; result
-    # must be independent of input ordering (scatter-back check).
-    n = 1000
-    cfg = SimConfig(n=n, theta=0.4, force_tile=256, use_pallas=False)
-    pos, mass = _cloud(n, seed=7)
-    acc = np.asarray(compute_bh_acc(pos, mass, cfg))
-    rng = np.random.default_rng(0)
-    perm = rng.permutation(n)
-    acc_p = np.asarray(compute_bh_acc(pos[perm], mass[perm], cfg))
-    np.testing.assert_allclose(acc_p, acc[perm], rtol=1e-4, atol=1e-4)
-
-
-def test_legacy_softening_changes_law():
-    n = 256
-    cfg_v5 = SimConfig(n=n)
-    cfg_leg = SimConfig(n=n, legacy_softening=True)
-    pos, mass = _cloud(n, seed=8)
-    a_v5 = np.asarray(forces.direct_forces(pos, mass, cfg_v5))
-    a_leg = np.asarray(forces.direct_forces(pos, mass, cfg_leg))
-    # soft = 50 vs 2500 -> materially different near-field
-    assert not np.allclose(a_v5, a_leg, rtol=1e-3)
-    want = _numpy_direct(pos, mass, cfg_leg.g, cfg_leg.softening**2)
-    np.testing.assert_allclose(a_leg, want, rtol=2e-4, atol=2e-5)
