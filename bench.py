@@ -59,13 +59,20 @@ def main():
     steps_per_sec = 1.0 / med
     print(f"[bench] median step: {med*1e3:.2f} ms  ({steps_per_sec:.2f} steps/s)", file=sys.stderr)
 
-    try:
-        from nbody_tpu.utils.profiling import phase_times
+    if os.environ.get("NBODY_BENCH_PHASES"):
+        try:
+            from nbody_tpu.utils.profiling import phase_times
 
-        ph = phase_times(state, cfg, iters=5)
-        print(f"[bench] phases: {json.dumps(ph)}", file=sys.stderr)
-    except Exception as e:  # phase breakdown is best-effort
-        print(f"[bench] phase timing failed: {e}", file=sys.stderr)
+            ph = phase_times(state, cfg, iters=5)
+            print(f"[bench] phases: {json.dumps(ph)}", file=sys.stderr)
+        except Exception as e:  # phase breakdown is best-effort
+            print(f"[bench] phase timing failed: {e}", file=sys.stderr)
+
+    # physics sanity for the record: kinetic energy + bbox (what the
+    # legacy binaries print at exit)
+    from nbody_tpu.utils import metrics
+
+    print(f"[bench] KE: {float(metrics.kinetic_energy(state)):.4e}", file=sys.stderr)
 
     # No published reference numbers exist (BASELINE.md).  Conservative
     # estimate for the CUDA v5_bench full step at N=1M on the named sm_75

@@ -41,8 +41,18 @@ def compute_bh_acc(
     """
     n = pos.shape[0]
     lo, size = bbox.bounding_cube(pos)
-    codes = morton.encode30(pos, lo, size)
-    codes_s, perm = morton.morton_sort_30(codes)
+    if cfg.morton_bits == 63:
+        # legacy (nbody/nbody_bh) key width: 63-bit codes as (hi, lo)
+        # uint32 pairs sorted lexicographically (cub::DeviceRadixSort on
+        # u64 keys in nbody_bh.exe).  The cell build below still uses
+        # 30-bit codes — identical cells down to Morton depth 10, which is
+        # the octree resolution either key width yields at these N.
+        hi, lo32 = morton.encode63(pos, lo, size)
+        _, _, perm = morton.morton_sort_63(hi, lo32)
+        codes_s = morton.encode30(pos, lo, size)[perm]
+    else:
+        codes = morton.encode30(pos, lo, size)
+        codes_s, perm = morton.morton_sort_30(codes)
     pos_s = pos[perm]
     mass_s = mass[perm]
     if force_fn == "tiled":

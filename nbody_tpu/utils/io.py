@@ -95,6 +95,29 @@ def load_checkpoint(path: str) -> Tuple[ParticleState, int]:
     return state, int(z["step"])
 
 
+def save_checkpoint_orbax(path: str, state: ParticleState, step: int = 0) -> None:
+    """Orbax checkpoint (async-capable, sharding-aware) — the production
+    checkpointing path; the npz functions above are the zero-dependency
+    fallback."""
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(
+        os.path.abspath(path),
+        {"pos": state.pos, "vel": state.vel, "mass": state.mass,
+         "acc": state.acc, "step": step},
+    )
+
+
+def load_checkpoint_orbax(path: str) -> Tuple[ParticleState, int]:
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.PyTreeCheckpointer()
+    z = ckpt.restore(os.path.abspath(path))
+    state = ParticleState.create(z["pos"], z["vel"], z["mass"], z["acc"])
+    return state, int(z["step"])
+
+
 _NATIVE = None
 _NATIVE_TRIED = False
 
