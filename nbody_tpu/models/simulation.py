@@ -105,6 +105,7 @@ class Simulation:
         else:
             raise ValueError(f"unknown method {method}")
         self._step = jax.jit(fn)
+        self._multi_cache = {}
 
     def init_state(self) -> ParticleState:
         from nbody_tpu.init import make_initial_state
@@ -123,29 +124,43 @@ class Simulation:
     ) -> ParticleState:
         """Advance n_steps; optional host callback every `callback_every`
         steps (forces a device sync — use sparingly, like the reference's
-        per-frame cudaEventSynchronize, nbody_v5_bench.cu:360)."""
-        for i in range(n_steps):
-            state = self._step(state)
-            if callback is not None and callback_every and (i + 1) % callback_every == 0:
+        per-frame cudaEventSynchronize, nbody_v5_bench.cu:360).
+
+        Steps between callbacks run inside compiled lax.scan chunks, so
+        there is no per-step dispatch overhead (the reference necessarily
+        pays ~500 kernel launches per step from the host).
+        """
+        chunk = callback_every if (callback is not None and callback_every) else n_steps
+        done = 0
+        while done < n_steps:
+            k = min(chunk, n_steps - done)
+            state = self._multi(k)(state)
+            done += k
+            if callback is not None and callback_every:
                 jax.block_until_ready(state)
-                callback(i + 1, state)
+                callback(done, state)
         return state
+
+    def _multi(self, k: int):
+        """Cached jitted k-step scan."""
+        if k not in self._multi_cache:
+            if self.method == "direct":
+                body = lambda s, _: (step_direct(s, self.cfg), None)
+            elif self.method == "barnes_hut":
+                body = lambda s, _: (step_barnes_hut(s, self.cfg, "tiled"), None)
+            else:
+                body = lambda s, _: (step_barnes_hut(s, self.cfg, "reference"), None)
+
+            @jax.jit
+            def multi(s):
+                out, _ = jax.lax.scan(body, s, None, length=k)
+                return out
+
+            self._multi_cache[k] = multi
+        return self._multi_cache[k]
 
     def run_scan(self, state: ParticleState, n_steps: int) -> ParticleState:
         """Advance n_steps inside a single compiled lax.scan — no per-step
         dispatch at all (the reference necessarily re-launches ~500 kernels
         per step from the host)."""
-
-        if self.method == "direct":
-            body = lambda s, _: (step_direct(s, self.cfg), None)
-        elif self.method == "barnes_hut":
-            body = lambda s, _: (step_barnes_hut(s, self.cfg, "tiled"), None)
-        else:
-            body = lambda s, _: (step_barnes_hut(s, self.cfg, "reference"), None)
-
-        @jax.jit
-        def multi(s):
-            out, _ = jax.lax.scan(body, s, None, length=n_steps)
-            return out
-
-        return multi(state)
+        return self._multi(n_steps)(state)
