@@ -71,6 +71,8 @@ def cmd_run(args) -> int:
                     callback_every=max(args.steps // 10, 1))
     jax.block_until_ready(state)
     summ = metrics.summary(state, cfg, with_pe=(cfg.n <= 200_000))
+    if args.method.startswith("barnes_hut") and args.diagnostics:
+        summ["structure"] = metrics.bh_diagnostics(state, cfg)
     print(json.dumps(summ, indent=2))
     if args.dump:
         io.dump_state_text(args.dump, state, cfg, args.steps)
@@ -139,6 +141,8 @@ def main(argv=None) -> int:
     _add_common(p_run)
     p_run.add_argument("--dump", default=None, help="write legacy-format text dump")
     p_run.add_argument("--checkpoint", default=None, help="write npz checkpoint")
+    p_run.add_argument("--diagnostics", action="store_true",
+                       help="report cell/band telemetry (legacy 'Nodes: %%d' parity)")
     p_run.set_defaults(fn=cmd_run)
 
     p_b = sub.add_parser("bench", help="Frame|ms|FPS table (nbody_v5_bench parity)")

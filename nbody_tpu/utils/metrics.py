@@ -70,6 +70,37 @@ def energy_drift(e0: float, e1: float) -> float:
     return abs(e1 - e0) / max(abs(e0), 1e-30)
 
 
+def bh_diagnostics(state: ParticleState, cfg: SimConfig) -> Dict[str, float]:
+    """Structure telemetry — the TPU analog of the legacy binaries'
+    per-step "Nodes: %d" print (strings in nbody.exe / nbody_bh.exe):
+    adaptive cell count, band-list statistics, and overflow flags."""
+    import jax.numpy as jnp
+
+    from nbody_tpu.ops import bbox as _bbox, morton as _morton, forces as _forces
+    from nbody_tpu.ops.cells import build_source_cells
+
+    lo, size = _bbox.bounding_cube(state.pos)
+    codes = _morton.encode30(state.pos, lo, size)
+    cs, perm = _morton.morton_sort_30(codes)
+    ps, ms, csp = _forces.pad_sorted(state.pos[perm], state.mass[perm], cs, cfg.force_tile)
+    cells = build_source_cells(csp, ps, ms, cfg.force_tile, cfg.g, cfg.cell_capacity)
+    supers = _forces.make_supers(cells)
+    tgt = _forces.target_subspheres(ps, cfg.force_tile)
+    bands = _forces.cell_band_lists(tgt, supers, cells, cfg)
+    return {
+        "n_cells": int(cells.n_cells),
+        "n_supers": int(supers.n_supers),
+        "cell_capacity": int(cfg.cell_capacity),
+        "cell_overflow": bool(cells.overflow),
+        "sup_mean": float(jnp.mean(bands.sup_cnt)),
+        "mid_mean": float(jnp.mean(bands.mid_cnt)),
+        "near_mean": float(jnp.mean(bands.near_cnt)),
+        "sup_overflow": bool(bands.sup_overflow),
+        "mid_overflow": bool(bands.mid_overflow),
+        "near_overflow": bool(bands.near_overflow),
+    }
+
+
 def summary(state: ParticleState, cfg: SimConfig, with_pe: bool = True) -> Dict[str, float]:
     lo, hi = bounding_box(state)
     out = {
