@@ -39,12 +39,12 @@ class SimConfig:
     # --- tree / traversal ---
     morton_bits: int = 30          # 30-bit (v5) or 63-bit (legacy) codes
     force_tile: int = 256          # particles per force group (B)
-    sup_cap: int = 128             # max MAC-failing supers per target
+    sup_cap: int = 256             # max MAC-failing supers per target
                                    # (each refines to 8 cells; overflow
                                    # flagged)
-    mid_cap: int = 256             # max mid-band (child-monopole) source
+    mid_cap: int = 128             # max mid-band (child-monopole) source
                                    # cells per target (overflow flagged)
-    near_cap: int = 64             # max near-band (exact P2P) source
+    near_cap: int = 128            # max near-band (exact P2P) source
                                    # cells per target (overflow flagged)
     cell_cap_factor: int = 6       # adaptive-cell capacity multiplier:
                                    # capacity = factor * ceil(n/force_tile)

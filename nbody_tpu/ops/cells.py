@@ -81,6 +81,29 @@ def _cumsum_prefix(x: jax.Array) -> jax.Array:
     return jnp.concatenate([z, c], axis=0)
 
 
+def _compact_bits(v: jax.Array) -> jax.Array:
+    """Inverse of morton.expand_bits: extract every 3rd bit (lowest 10/11)."""
+    v = v & jnp.uint32(0x49249249)
+    v = (v | (v >> 2)) & jnp.uint32(0xC30C30C3)
+    v = (v | (v >> 4)) & jnp.uint32(0x0F00F00F)
+    v = (v | (v >> 8)) & jnp.uint32(0xFF0000FF)
+    v = (v | (v >> 16)) & jnp.uint32(0x3FF)
+    return v
+
+
+def cell_corner(code: jax.Array, depth: jax.Array, lo: jax.Array, size: jax.Array):
+    """Lower corner of the depth-d Morton cell containing `code` (world
+    coordinates), vectorized over cells.  Only O(G) work — no per-particle
+    decode."""
+    shift = 3 * (MAX_DEPTH - jnp.minimum(depth, MAX_DEPTH))
+    cid = (code >> shift) << shift  # zero the sub-cell bits
+    x = _compact_bits(cid >> 2).astype(jnp.float32)
+    y = _compact_bits(cid >> 1).astype(jnp.float32)
+    z = _compact_bits(cid).astype(jnp.float32)
+    lattice = size / 1024.0
+    return lo[None, :] + jnp.stack([x, y, z], axis=1) * lattice
+
+
 def build_source_cells(
     codes_sorted: jax.Array,
     pos_sorted: jax.Array,
@@ -88,8 +111,18 @@ def build_source_cells(
     b: int,
     g_const: float,
     g_cap: int,
+    box_lo: jax.Array | None = None,
+    box_size: jax.Array | None = None,
 ) -> SourceCells:
-    """Compute the adaptive cut and per-cell + per-child monopoles."""
+    """Compute the adaptive cut and per-cell + per-child monopoles.
+
+    When (box_lo, box_size) — the cubified AABB the codes were quantized
+    against — are given, cell geometry (corner, width) is ANALYTIC from
+    the Morton lattice: width = size / 2^depth, exactly the reference's
+    cell-width MAC size (node.maxX - node.minX, nbody_v5.cu:232), and the
+    two heavy segmented min/max scans are skipped.  Without them, widths
+    fall back to per-cell particle bounding boxes (tighter but ~2x the
+    build cost)."""
     n = codes_sorted.shape[0]
     idx = jnp.arange(n, dtype=_I32)
     c_cap = 8 * g_cap
@@ -158,25 +191,54 @@ def build_source_cells(
     # --- per-segment reductions ---
     pm = _cumsum_prefix(mass_sorted[:, None])                 # [N+1, 1]
     pwm = _cumsum_prefix(pos_sorted * mass_sorted[:, None])   # [N+1, 3]
-    mn_g, mx_g = _seg_scan_minmax(pos_sorted, grp_b)
-    mn_c, mx_c = _seg_scan_minmax(pos_sorted, chd_b)
+    analytic = box_lo is not None and box_size is not None
+    if not analytic:
+        mn_g, mx_g = _seg_scan_minmax(pos_sorted, grp_b)
+        mn_c, mx_c = _seg_scan_minmax(pos_sorted, chd_b)
 
     big_f = jnp.float32(3.0e38)
 
-    def cell_stats(first, count, mn, mx):
+    def seg_moments(first, count):
         valid = count > 0
-        lastp = jnp.clip(first + count - 1, 0, n - 1)
         fc = jnp.clip(first, 0, n - 1)
         m = pm[jnp.clip(first + count, 0, n), 0] - pm[fc, 0]
         wm = pwm[jnp.clip(first + count, 0, n)] - pwm[fc]
         com = jnp.where(valid[:, None], wm / jnp.maximum(m, 1e-20)[:, None], 0.0)
+        return com, g_const * m * valid, valid
+
+    def bbox_stats(first, count, mn, mx):
+        valid = count > 0
+        lastp = jnp.clip(first + count - 1, 0, n - 1)
         lo = jnp.where(valid[:, None], mn[lastp], big_f)
         hi = jnp.where(valid[:, None], mx[lastp], -big_f)
         diam = jnp.where(valid, jnp.max(mx[lastp] - mn[lastp], axis=1), 0.0)
-        return com, g_const * m * valid, diam, lo, hi
+        return diam, lo, hi
 
-    g_com, g_gm, g_diam, g_lo, g_hi = cell_stats(g_first, g_count, mn_g, mx_g)
-    c_com, c_gm, c_diam, _, _ = cell_stats(c_first, c_count, mn_c, mx_c)
+    def analytic_stats(first, count, depth):
+        valid = count > 0
+        fc = jnp.clip(first, 0, n - 1)
+        width = jnp.where(
+            valid,
+            box_size * jnp.exp2(-jnp.minimum(depth, MAX_DEPTH).astype(jnp.float32)),
+            0.0,
+        )
+        corner = cell_corner(codes_sorted[fc], depth, box_lo, box_size)
+        lo = jnp.where(valid[:, None], corner, big_f)
+        hi = jnp.where(valid[:, None], corner + width[:, None], -big_f)
+        return width, lo, hi
+
+    g_com, g_gm, _ = seg_moments(g_first, g_count)
+    c_com, c_gm, _ = seg_moments(c_first, c_count)
+    if analytic:
+        gf_safe0 = jnp.clip(g_first, 0, n - 1)
+        g_depth = cut_depth[gf_safe0]
+        g_diam, g_lo, g_hi = analytic_stats(g_first, g_count, g_depth)
+        cf_safe0 = jnp.clip(c_first, 0, n - 1)
+        c_depth = jnp.minimum(cut_depth[cf_safe0] + 1, MAX_DEPTH)
+        c_diam, _, _ = analytic_stats(c_first, c_count, c_depth)
+    else:
+        g_diam, g_lo, g_hi = bbox_stats(g_first, g_count, mn_g, mx_g)
+        c_diam, _, _ = bbox_stats(c_first, c_count, mn_c, mx_c)
 
     # --- regroup children to [Gc, 8]: group i's children are the child
     # ids [chd_id[g_first[i]], chd_id[g_first[i+1]]) (both contiguous) ---

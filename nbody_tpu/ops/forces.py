@@ -161,6 +161,12 @@ def bh_forces_reference(pos_sorted: jax.Array, tree: LinearTree, cfg: SimConfig)
 # two-stage (supers first, then only the failing supers' cells) so the
 # classification panel is T x (sup_cap*8), not T x G_cells, and row
 # compaction is one sort (scatter-based compaction measured ~6x slower).
+#
+# Band-cap overflow degrades GRACEFULLY: a pair dropped from a band list
+# loses both its refinement rows and the matching anti-row (they come from
+# the same list), so the source simply stays at the coarser monopole the
+# previous level already applied — a local theta violation for that pair,
+# never a missing or double-counted force.  The overflow flags report it.
 # ---------------------------------------------------------------------------
 
 
@@ -517,11 +523,17 @@ def bh_forces_grouped(
     Every approximated cell satisfies width/dist < theta for every target
     particle (conservative sub-sphere bound; criterion per nbody_v5.cu:232).
     """
+    from nbody_tpu.ops import bbox as _bbox
     from nbody_tpu.ops.cells import build_source_cells
 
     b = cfg.force_tile
     g_cap = cfg.cell_capacity
-    cells = build_source_cells(codes_s, pos_s, mass_s, b, cfg.g, g_cap)
+    # same cubified box the codes were quantized against (padding clones
+    # the last particle, so min/max are unchanged)
+    box_lo, box_size = _bbox.bounding_cube(pos_s)
+    cells = build_source_cells(
+        codes_s, pos_s, mass_s, b, cfg.g, g_cap, box_lo, box_size
+    )
     supers = make_supers(cells)
     tgt_subs = target_subspheres(pos_s, b)
     bands = cell_band_lists(tgt_subs, supers, cells, cfg)

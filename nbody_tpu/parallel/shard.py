@@ -74,7 +74,10 @@ def _local_bh_step(pos, vel, mass, acc, cfg: SimConfig):
     from nbody_tpu.ops.cells import build_source_cells
 
     b = cfg.force_tile
-    cells = build_source_cells(codes_s, pos_s, mass_s, b, cfg.g, cfg.cell_capacity)
+    box_lo, box_size = bbox.bounding_cube(pos_s)
+    cells = build_source_cells(
+        codes_s, pos_s, mass_s, b, cfg.g, cfg.cell_capacity, box_lo, box_size
+    )
     supers = forces.make_supers(cells)
     tgt_subs = forces.target_subspheres(pos_s, b)
     bands = forces.cell_band_lists(tgt_subs, supers, cells, cfg)

@@ -83,7 +83,9 @@ def bh_diagnostics(state: ParticleState, cfg: SimConfig) -> Dict[str, float]:
     codes = _morton.encode30(state.pos, lo, size)
     cs, perm = _morton.morton_sort_30(codes)
     ps, ms, csp = _forces.pad_sorted(state.pos[perm], state.mass[perm], cs, cfg.force_tile)
-    cells = build_source_cells(csp, ps, ms, cfg.force_tile, cfg.g, cfg.cell_capacity)
+    blo, bsz = _bbox.bounding_cube(ps)
+    cells = build_source_cells(csp, ps, ms, cfg.force_tile, cfg.g,
+                               cfg.cell_capacity, blo, bsz)
     supers = _forces.make_supers(cells)
     tgt = _forces.target_subspheres(ps, cfg.force_tile)
     bands = _forces.cell_band_lists(tgt, supers, cells, cfg)

@@ -108,7 +108,9 @@ def phase_times(
     def ph_groups(pos_p, mass_p, codes_p):
         from nbody_tpu.ops.cells import build_source_cells
 
-        cells = build_source_cells(codes_p, pos_p, mass_p, b, cfg.g, cfg.cell_capacity)
+        blo, bsz = bbox.bounding_cube(pos_p)
+        cells = build_source_cells(codes_p, pos_p, mass_p, b, cfg.g,
+                                   cfg.cell_capacity, blo, bsz)
         supers = forces.make_supers(cells)
         tgt_subs = forces.target_subspheres(pos_p, b)
         bands = forces.cell_band_lists(tgt_subs, supers, cells, cfg)

@@ -125,3 +125,37 @@ def test_duplicate_positions_runs():
     count = np.asarray(cells.count)[:gn]
     assert count.sum() == n and count.max() <= b
     assert float(np.asarray(cells.diam)[:gn].max()) == 0.0
+
+
+def test_analytic_cell_geometry():
+    """With the quantization box given, diam is the exact Morton cell
+    width (size / 2^depth) and the analytic corner contains the cell's
+    particles — the v5 cell-width MAC semantics."""
+    n, b = 2000, 128
+    rng = np.random.default_rng(5)
+    pos = rng.uniform(-800, 800, (n, 3)).astype(np.float32)
+    mass = rng.uniform(1, 2, n).astype(np.float32)
+    lo, size = bbox.bounding_cube(jnp.asarray(pos))
+    sc, perm = morton.morton_sort_30(morton.encode30(jnp.asarray(pos), lo, size))
+    ps, ms = jnp.asarray(pos)[perm], jnp.asarray(mass)[perm]
+    cells = build_source_cells(sc, ps, ms, b, 0.5, 8 * n // b, lo, size)
+    gn = int(cells.n_cells)
+    first = np.asarray(cells.first)[:gn]
+    count = np.asarray(cells.count)[:gn]
+    diam = np.asarray(cells.diam)[:gn]
+    clo = np.asarray(cells.lo)[:gn]
+    chi = np.asarray(cells.hi)[:gn]
+    psn = np.asarray(ps)
+    sz = float(size)
+    for g in range(gn):
+        sl = slice(first[g], first[g] + count[g])
+        # width is size / 2^k for some integer depth k
+        k = np.log2(sz / diam[g])
+        assert abs(k - round(k)) < 1e-4
+        # particle bbox fits inside the analytic cell box (up to the
+        # fp32 quantization wobble of one lattice unit)
+        eps = sz / 1024 + 1e-3
+        assert np.all(psn[sl].min(0) >= clo[g] - eps)
+        assert np.all(psn[sl].max(0) <= chi[g] + eps)
+        # and the particle extent never exceeds the cell width
+        assert (psn[sl].max(0) - psn[sl].min(0)).max() <= diam[g] + eps
