@@ -129,7 +129,7 @@ def far_sweep_pallas(pos_s: jax.Array, groups, cfg: SimConfig) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _table_kernel(pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref, *, soft: float, chunks: int):
+def _table_kernel(pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref, *, soft: float):
     # same panel math as the far sweep; the source rows here are the
     # PER-TARGET gathered mid-band tables (sub-monopoles + anti-parents)
     _far_kernel(pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref, soft=soft)
@@ -154,7 +154,7 @@ def table_sweep_pallas(tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig) ->
     tz = tables[:, :, 2].reshape(-1)
     tm = tables[:, :, 3].reshape(-1)
 
-    kernel = functools.partial(_table_kernel, soft=float(soft_term(cfg)), chunks=chunks)
+    kernel = functools.partial(_table_kernel, soft=float(soft_term(cfg)))
     row = pl.BlockSpec((LC,), lambda i, j, c=chunks: (i * c + j,), memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
         kernel,
