@@ -92,12 +92,22 @@ def cmd_bench(args) -> int:
     sim = Simulation(cfg, method=args.method)
     state = sim.init_state()
     state = jax.block_until_ready(sim.step(state))  # compile
+    if args.trace:
+        from nbody_tpu.utils.profiling import trace
+
+        with trace(args.trace):
+            state = jax.block_until_ready(sim.step(state))
+        print(f"profiler trace written to {args.trace}")
     rows = frame_table(sim.step, state, args.frames)
     ms = sorted(r["ms"] for r in rows)
     med = ms[len(ms) // 2]
     print(f"\nmedian {med:.3f} ms/step  ({1000.0/med:.1f} steps/s)")
     if args.phases:
         print(json.dumps(phase_times(state, cfg), indent=2))
+    if args.transfers:
+        from nbody_tpu.utils.profiling import transfer_bench
+
+        print(json.dumps(transfer_bench(), indent=2))
     return 0
 
 
@@ -149,6 +159,10 @@ def main(argv=None) -> int:
     _add_common(p_b)
     p_b.add_argument("--frames", type=int, default=100)
     p_b.add_argument("--phases", action="store_true", help="per-phase breakdown")
+    p_b.add_argument("--transfers", action="store_true",
+                     help="host<->device bandwidth (README.md:27 parity)")
+    p_b.add_argument("--trace", default=None, metavar="DIR",
+                     help="write a jax.profiler trace to DIR")
     p_b.set_defaults(fn=cmd_bench)
 
     p_r = sub.add_parser("render", help="render frames to PPM (nbody_v5 visual parity)")

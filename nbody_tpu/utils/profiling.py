@@ -167,3 +167,31 @@ def phase_times(
             ph_tree, codes_s, pos_s, mass_s, size, iters=iters
         )["median_ms"]
     return out
+
+
+def trace(log_dir: str):
+    """Context manager around jax.profiler.trace — the TPU equivalent of
+    nvprof/NVTX the reference never had (SURVEY.md §5).  View with
+    TensorBoard or xprof."""
+    return jax.profiler.trace(log_dir)
+
+
+def transfer_bench(n_bytes: int = 1 << 26, iters: int = 5) -> Dict[str, float]:
+    """Host<->device transfer bandwidth — the 'CPU-GPU memory transfer
+    benchmarks' the reference README advertises (README.md:27) but its
+    source never implemented (SURVEY.md §2.4 #6)."""
+    import numpy as np
+
+    x = np.ones(n_bytes // 4, np.float32)
+    d = jax.device_put(x)
+    _sync(d)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d = jax.device_put(x)
+        _sync(d)
+    h2d = n_bytes * iters / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _ = np.asarray(d)
+    d2h = n_bytes * iters / (time.perf_counter() - t0)
+    return {"h2d_gbps": h2d / 1e9, "d2h_gbps": d2h / 1e9, "mb": n_bytes / 1e6}
