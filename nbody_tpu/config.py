@@ -70,6 +70,14 @@ class SimConfig:
             raise ValueError(f"n must be positive, got {self.n}")
         if self.morton_bits not in (30, 63):
             raise ValueError("morton_bits must be 30 or 63")
+        if self.softening <= 0:
+            raise ValueError(
+                "softening must be positive: the force law divides by "
+                "sqrt(d^2 + softening) and self-interactions rely on it"
+            )
+        if self.force_tile % (8 * 8):
+            raise ValueError("force_tile must be a multiple of 64 "
+                             "(8 sub-blocks, 128-lane DMA alignment /2)")
 
     @property
     def n_groups(self) -> int:

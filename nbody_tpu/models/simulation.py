@@ -44,12 +44,14 @@ def compute_bh_acc(
     if cfg.morton_bits == 63:
         # legacy (nbody/nbody_bh) key width: 63-bit codes as (hi, lo)
         # uint32 pairs sorted lexicographically (cub::DeviceRadixSort on
-        # u64 keys in nbody_bh.exe).  The cell build below still uses
-        # 30-bit codes — identical cells down to Morton depth 10, which is
-        # the octree resolution either key width yields at these N.
+        # u64 keys in nbody_bh.exe).  The 30-bit codes the cell build
+        # needs are the TOP 30 BITS of the 63-bit keys (bits 33..62 =
+        # hi >> 1): a strict prefix of the sort key, so the sorted order
+        # of the 63-bit keys is also sorted for them.  (Re-encoding at
+        # 10-bit quantization would NOT nest — the lattices differ.)
         hi, lo32 = morton.encode63(pos, lo, size)
-        _, _, perm = morton.morton_sort_63(hi, lo32)
-        codes_s = morton.encode30(pos, lo, size)[perm]
+        shi, _, perm = morton.morton_sort_63(hi, lo32)
+        codes_s = (shi >> 1) & jnp.uint32(0x3FFFFFFF)
     else:
         codes = morton.encode30(pos, lo, size)
         codes_s, perm = morton.morton_sort_30(codes)

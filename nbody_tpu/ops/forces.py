@@ -320,18 +320,23 @@ def cell_band_lists(
     t = tgt_subs.center.shape[0] // SUB_FACTOR
     big = jnp.iinfo(jnp.int32).max // 2 * 2  # even sentinel
 
-    # packed per-cell fields for stage 2: [g_cap+1, 5] (zero pad row)
+    # packed per-cell fields for stage 2: [g_cap+1, 11] (zero pad row):
+    # com(3), diam, child_diam_max, box lo(3), box hi(3)
     cellf = jnp.concatenate(
-        [cells.com, cells.diam[:, None], cells.child_diam_max[:, None]], axis=1
+        [cells.com, cells.diam[:, None], cells.child_diam_max[:, None],
+         cells.lo, cells.hi], axis=1
     )
-    cellf = jnp.concatenate([cellf, jnp.zeros((1, 5), jnp.float32)])
+    cellf = jnp.concatenate([cellf, jnp.zeros((1, 11), jnp.float32)])
 
     centers = tgt_subs.center.reshape(t, SUB_FACTOR, 3)
     radii = tgt_subs.radius.reshape(t, SUB_FACTOR)
-    chunk = max(8, min(256, (1 << 21) // max(n_sup, 1)))
+    chunk = max(8, min(256, (1 << 20) // max(n_sup, 1)))
     t_pad = -(-t // chunk) * chunk
     centers = jnp.pad(centers, ((0, t_pad - t), (0, 0), (0, 0)))
     radii = jnp.pad(radii, ((0, t_pad - t), (0, 0)))
+    # mask: which rows of each chunk are REAL targets (padding rows sit at
+    # the origin and would otherwise trip the overflow flags)
+    row_real = (jnp.arange(t_pad, dtype=_I32) < t).reshape(-1, chunk)
 
     sup_ids = jnp.arange(n_sup, dtype=_I32)[None, :]
 
@@ -342,7 +347,7 @@ def cell_band_lists(
         return jnp.maximum(jnp.min(gap, axis=-1), 0.0)
 
     def one_chunk(args):
-        ctr, rad = args                                    # [C,S,3],[C,S]
+        ctr, rad, real = args                # [C,S,3],[C,S],[C]
         # stage 1: supers
         gap = min_gap(supers.com, ctr, rad)                # [C, n_sup]
         dist = jnp.sqrt(gap * gap + soft)
@@ -360,7 +365,10 @@ def cell_band_lists(
         sup_c = jnp.minimum(sup_idx, n_sup)                # pad -> n_sup
         cand = sup_c[:, :, None] * 8 + jnp.arange(8, dtype=_I32)[None, None, :]
         cand = jnp.minimum(cand, g_cap).reshape(ctr.shape[0], -1)  # pad -> g_cap
-        f = cellf[cand]                                    # [C, K, 5]
+        f = cellf[cand]                                    # [C, K, 11]
+        # cell-as-monopole test: distance to the cell's own COM (the
+        # reference's criterion, nbody_v5.cu:232), conservative over the
+        # target's members via its sub-spheres
         d = f[..., 0:3][:, :, None, :] - ctr[:, None, :, :]
         gapc = jnp.maximum(
             jnp.min(jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad[:, None, :], axis=-1),
@@ -369,8 +377,17 @@ def cell_band_lists(
         distc = jnp.sqrt(gapc * gapc + soft)
         diam = f[..., 3]
         cdm = f[..., 4]
+        # child-acceptance test: child COMs can sit ANYWHERE in the parent
+        # cell box, so the conservative distance is the gap from the
+        # target sub-spheres to the BOX, not to the parent COM
+        blo = f[..., 5:8]
+        bhi = f[..., 8:11]
+        cl = jnp.clip(ctr[:, None, :, :], blo[:, :, None, :], bhi[:, :, None, :])
+        gap_box = jnp.linalg.norm(cl - ctr[:, None, :, :], axis=-1) - rad[:, None, :]
+        gap_box = jnp.maximum(jnp.min(gap_box, axis=-1), 0.0)
+        dist_box = jnp.sqrt(gap_box * gap_box + soft)
         failc = (diam / distc >= theta) & (cand < g_cap)
-        midm = failc & (cdm / distc < theta)
+        midm = failc & (cdm / dist_box < theta)
         nearm = failc & ~midm
         key_m = jnp.where(midm, cand, big)
         key_n = jnp.where(nearm, cand + big // 2, big)
@@ -379,13 +396,16 @@ def cell_band_lists(
             jnp.minimum(sup_idx, n_sup), jnp.minimum(sup_cnt, s_cap),
             jnp.minimum(mi, g_cap), jnp.minimum(mc, mid_cap),
             jnp.minimum(ni, g_cap), jnp.minimum(nc, near_cap),
-            jnp.any(sup_cnt > s_cap), jnp.any(mc > mid_cap), jnp.any(nc > near_cap),
+            jnp.any(real & (sup_cnt > s_cap)),
+            jnp.any(real & (mc > mid_cap)),
+            jnp.any(real & (nc > near_cap)),
         )
 
     res = lax.map(
         one_chunk,
         (centers.reshape(-1, chunk, SUB_FACTOR, 3),
-         radii.reshape(-1, chunk, SUB_FACTOR)),
+         radii.reshape(-1, chunk, SUB_FACTOR),
+         row_real),
     )
     si, sc, mi, mc, ni, nc, so, mo, no = res
     return CellBands(
@@ -508,6 +528,29 @@ def near_correction_jnp(
     return acc.reshape(n, 3)
 
 
+def build_bands(pos_s: jax.Array, mass_s: jax.Array, codes_s: jax.Array, cfg: SimConfig):
+    """The shared band-construction prologue of the production force path:
+    adaptive cells -> supers -> target sub-spheres -> band lists -> tables.
+    Single source of truth for bh_forces_grouped, the sharded step,
+    diagnostics, and the phase profiler.  Inputs must be Morton-sorted and
+    padded to a force_tile multiple (pad_sorted)."""
+    from nbody_tpu.ops import bbox as _bbox
+    from nbody_tpu.ops.cells import build_source_cells
+
+    b = cfg.force_tile
+    # same cubified box the codes were quantized against (padding clones
+    # the last particle, so min/max are unchanged)
+    box_lo, box_size = _bbox.bounding_cube(pos_s)
+    cells = build_source_cells(
+        codes_s, pos_s, mass_s, b, cfg.g, cfg.cell_capacity, box_lo, box_size
+    )
+    supers = make_supers(cells)
+    tgt_subs = target_subspheres(pos_s, b)
+    bands = cell_band_lists(tgt_subs, supers, cells, cfg)
+    tables = build_cell_tables(cells, supers, bands)
+    return cells, supers, bands, tables
+
+
 def bh_forces_grouped(
     pos_s: jax.Array, mass_s: jax.Array, codes_s: jax.Array, cfg: SimConfig
 ) -> jax.Array:
@@ -523,21 +566,7 @@ def bh_forces_grouped(
     Every approximated cell satisfies width/dist < theta for every target
     particle (conservative sub-sphere bound; criterion per nbody_v5.cu:232).
     """
-    from nbody_tpu.ops import bbox as _bbox
-    from nbody_tpu.ops.cells import build_source_cells
-
-    b = cfg.force_tile
-    g_cap = cfg.cell_capacity
-    # same cubified box the codes were quantized against (padding clones
-    # the last particle, so min/max are unchanged)
-    box_lo, box_size = _bbox.bounding_cube(pos_s)
-    cells = build_source_cells(
-        codes_s, pos_s, mass_s, b, cfg.g, g_cap, box_lo, box_size
-    )
-    supers = make_supers(cells)
-    tgt_subs = target_subspheres(pos_s, b)
-    bands = cell_band_lists(tgt_subs, supers, cells, cfg)
-    tables = build_cell_tables(cells, supers, bands)
+    cells, supers, bands, tables = build_bands(pos_s, mass_s, codes_s, cfg)
 
     if cfg.use_pallas:
         from nbody_tpu.ops.pallas.forces import (

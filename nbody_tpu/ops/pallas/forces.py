@@ -226,9 +226,10 @@ def _near_kernel(
 
     def span_start(k):
         # HBM DMA slices must be 128-lane aligned: window = the aligned
-        # b+128 span containing [first, first+count)
+        # b+128 span containing [first, first+count); clamp to [0, ...] —
+        # the wrapper pads the source arrays to at least wspan columns
         h = idx_smem[jnp.minimum(k, cap - 1)]
-        raw = jnp.minimum(cfirst_ref[h], n_src - wspan)
+        raw = jnp.maximum(jnp.minimum(cfirst_ref[h], n_src - wspan), 0)
         return pl.multiple_of(raw // 128 * 128, 128)
 
     def seg_dma(slot, s, j):

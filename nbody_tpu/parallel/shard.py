@@ -71,16 +71,8 @@ def _local_bh_step(pos, vel, mass, acc, cfg: SimConfig):
     n_total = pos_g.shape[0]
     n_local = n_total // d
 
-    from nbody_tpu.ops.cells import build_source_cells
-
     b = cfg.force_tile
-    box_lo, box_size = bbox.bounding_cube(pos_s)
-    cells = build_source_cells(
-        codes_s, pos_s, mass_s, b, cfg.g, cfg.cell_capacity, box_lo, box_size
-    )
-    supers = forces.make_supers(cells)
-    tgt_subs = forces.target_subspheres(pos_s, b)
-    bands = forces.cell_band_lists(tgt_subs, supers, cells, cfg)
+    cells, supers, bands, _ = forces.build_bands(pos_s, mass_s, codes_s, cfg)
 
     # my slab of targets (contiguous blocks => contiguous particles)
     t_total = n_total // b

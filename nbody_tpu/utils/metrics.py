@@ -77,18 +77,12 @@ def bh_diagnostics(state: ParticleState, cfg: SimConfig) -> Dict[str, float]:
     import jax.numpy as jnp
 
     from nbody_tpu.ops import bbox as _bbox, morton as _morton, forces as _forces
-    from nbody_tpu.ops.cells import build_source_cells
 
     lo, size = _bbox.bounding_cube(state.pos)
     codes = _morton.encode30(state.pos, lo, size)
     cs, perm = _morton.morton_sort_30(codes)
     ps, ms, csp = _forces.pad_sorted(state.pos[perm], state.mass[perm], cs, cfg.force_tile)
-    blo, bsz = _bbox.bounding_cube(ps)
-    cells = build_source_cells(csp, ps, ms, cfg.force_tile, cfg.g,
-                               cfg.cell_capacity, blo, bsz)
-    supers = _forces.make_supers(cells)
-    tgt = _forces.target_subspheres(ps, cfg.force_tile)
-    bands = _forces.cell_band_lists(tgt, supers, cells, cfg)
+    cells, supers, bands, _ = _forces.build_bands(ps, ms, csp, cfg)
     return {
         "n_cells": int(cells.n_cells),
         "n_supers": int(supers.n_supers),
@@ -105,11 +99,12 @@ def bh_diagnostics(state: ParticleState, cfg: SimConfig) -> Dict[str, float]:
 
 def summary(state: ParticleState, cfg: SimConfig, with_pe: bool = True) -> Dict[str, float]:
     lo, hi = bounding_box(state)
+    p = momentum(state)
     out = {
         "ke": float(kinetic_energy(state)),
-        "px": float(momentum(state)[0]),
-        "py": float(momentum(state)[1]),
-        "pz": float(momentum(state)[2]),
+        "px": float(p[0]),
+        "py": float(p[1]),
+        "pz": float(p[2]),
         "bbox_min": [float(x) for x in lo],
         "bbox_max": [float(x) for x in hi],
     }

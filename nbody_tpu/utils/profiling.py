@@ -106,15 +106,8 @@ def phase_times(
 
     @jax.jit
     def ph_groups(pos_p, mass_p, codes_p):
-        from nbody_tpu.ops.cells import build_source_cells
-
-        blo, bsz = bbox.bounding_cube(pos_p)
-        cells = build_source_cells(codes_p, pos_p, mass_p, b, cfg.g,
-                                   cfg.cell_capacity, blo, bsz)
-        supers = forces.make_supers(cells)
-        tgt_subs = forces.target_subspheres(pos_p, b)
-        bands = forces.cell_band_lists(tgt_subs, supers, cells, cfg)
-        return cells, supers, forces.build_cell_tables(cells, supers, bands), bands
+        cells, supers, bands, tables = forces.build_bands(pos_p, mass_p, codes_p, cfg)
+        return cells, supers, tables, bands
 
     cells, supers, mid_tab, bands = jax.block_until_ready(
         ph_groups(pos_p, mass_p, codes_p)

@@ -90,14 +90,8 @@ def _sorted_grouped(pos, mass, cfg):
 
 
 def _hierarchy(pos_s, mass_s, codes_s, cfg):
-    from nbody_tpu.ops.cells import build_source_cells
-
-    cells = build_source_cells(
-        codes_s, pos_s, mass_s, cfg.force_tile, cfg.g, cfg.cell_capacity
-    )
-    supers = forces.make_supers(cells)
+    cells, supers, bands, _ = forces.build_bands(pos_s, mass_s, codes_s, cfg)
     tgt_subs = forces.target_subspheres(pos_s, cfg.force_tile)
-    bands = forces.cell_band_lists(tgt_subs, supers, cells, cfg)
     return cells, supers, tgt_subs, bands
 
 
@@ -167,7 +161,14 @@ def test_cell_band_partition_against_numpy():
         cand = [c for c in cand if c < g_cap]
         distc = np.sqrt(min_gap(c_com[cand], ctr[ti], rad[ti]) ** 2 + soft)
         failc = c_diam[cand] / distc >= th
-        midm = failc & (c_cdm[cand] / distc < th)
+        # child test: conservative gap to the parent cell BOX
+        blo = np.asarray(cells.lo)[cand]
+        bhi = np.asarray(cells.hi)[cand]
+        cl = np.clip(ctr[ti][None, :, :], blo[:, None, :], bhi[:, None, :])
+        gapb = np.linalg.norm(cl - ctr[ti][None, :, :], axis=-1) - rad[ti][None, :]
+        gapb = np.maximum(gapb.min(axis=1), 0.0)
+        distb = np.sqrt(gapb * gapb + soft)
+        midm = failc & (c_cdm[cand] / distb < th)
         nearm = failc & ~midm
         want_mid = {cand[k] for k in np.nonzero(midm)[0]}
         want_near = {cand[k] for k in np.nonzero(nearm)[0]}

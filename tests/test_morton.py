@@ -108,3 +108,28 @@ def test_bounding_cube_min_size_one():
     pos = jnp.zeros((5, 3), jnp.float32)
     _, size = bbox.bounding_cube(pos)
     assert float(size) == 1.0  # fmaxf(..., 1.0f) guard (nbody_v5.cu:72)
+
+
+def test_63bit_sort_order_nests_30bit_truncation():
+    """Regression: the production pipeline derives 30-bit codes for the
+    cell build from the TOP 30 BITS of the 63-bit sort keys (hi >> 1).
+    Truncation nests (prefix of the sort key), so the 63-bit order is
+    also sorted for them — unlike re-encoding at 10-bit quantization,
+    whose lattice differs and yields thousands of inversions."""
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.uniform(-900, 900, (5000, 3)).astype(np.float32))
+    lo, size = bbox.bounding_cube(pos)
+    hi, lo32 = morton.encode63(pos, lo, size)
+    shi, slo, perm = morton.morton_sort_63(hi, lo32)
+    codes30 = np.asarray((shi >> 1) & jnp.uint32(0x3FFFFFFF))
+    assert np.all(np.diff(codes30.astype(np.int64)) >= 0)
+    # and the truncated code is the Morton code of the >>11 lattice coords
+    from nbody_tpu.ops.morton import quantize, expand_bits
+
+    q = np.asarray(quantize(pos, lo, size, 21))[np.asarray(perm)] >> 11
+    want = (
+        (np.asarray(expand_bits(jnp.asarray(q[:, 0]))) << 2)
+        | (np.asarray(expand_bits(jnp.asarray(q[:, 1]))) << 1)
+        | np.asarray(expand_bits(jnp.asarray(q[:, 2])))
+    )
+    np.testing.assert_array_equal(codes30, want)
