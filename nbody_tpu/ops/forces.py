@@ -321,10 +321,17 @@ def cell_band_lists(
     big = jnp.iinfo(jnp.int32).max // 2 * 2  # even sentinel
 
     # packed per-cell fields for stage 2: [g_cap+1, 11] (zero pad row):
-    # com(3), diam, child_diam_max, box lo(3), box hi(3)
+    # com(3), diam, child_diam_max, child-COM box lo(3), hi(3).
+    # The child-acceptance bound needs "closest possible child COM"; the
+    # exact child COMs are known per cell, so their bounding box is a
+    # tight-and-correct bound (the full parent cell box is ~40% slower).
+    kid_ok = cells.child_gmass > 0
+    big_f = jnp.float32(3.0e38)
+    cc_lo = jnp.min(jnp.where(kid_ok[..., None], cells.child_com, big_f), axis=1)
+    cc_hi = jnp.max(jnp.where(kid_ok[..., None], cells.child_com, -big_f), axis=1)
     cellf = jnp.concatenate(
         [cells.com, cells.diam[:, None], cells.child_diam_max[:, None],
-         cells.lo, cells.hi], axis=1
+         cc_lo, cc_hi], axis=1
     )
     cellf = jnp.concatenate([cellf, jnp.zeros((1, 11), jnp.float32)])
 
@@ -377,9 +384,9 @@ def cell_band_lists(
         distc = jnp.sqrt(gapc * gapc + soft)
         diam = f[..., 3]
         cdm = f[..., 4]
-        # child-acceptance test: child COMs can sit ANYWHERE in the parent
-        # cell box, so the conservative distance is the gap from the
-        # target sub-spheres to the BOX, not to the parent COM
+        # child-acceptance test: conservative distance is the gap from the
+        # target sub-spheres to the bounding box of the CHILD COMs (every
+        # child monopole sits inside it), not to the parent COM
         blo = f[..., 5:8]
         bhi = f[..., 8:11]
         cl = jnp.clip(ctr[:, None, :, :], blo[:, :, None, :], bhi[:, :, None, :])

@@ -161,9 +161,12 @@ def test_cell_band_partition_against_numpy():
         cand = [c for c in cand if c < g_cap]
         distc = np.sqrt(min_gap(c_com[cand], ctr[ti], rad[ti]) ** 2 + soft)
         failc = c_diam[cand] / distc >= th
-        # child test: conservative gap to the parent cell BOX
-        blo = np.asarray(cells.lo)[cand]
-        bhi = np.asarray(cells.hi)[cand]
+        # child test: conservative gap to the child-COM bounding box
+        kid_ok = np.asarray(cells.child_gmass) > 0
+        ccom = np.asarray(cells.child_com)
+        big = 3.0e38
+        blo = np.where(kid_ok[..., None], ccom, big).min(axis=1)[cand]
+        bhi = np.where(kid_ok[..., None], ccom, -big).max(axis=1)[cand]
         cl = np.clip(ctr[ti][None, :, :], blo[:, None, :], bhi[:, None, :])
         gapb = np.linalg.norm(cl - ctr[ti][None, :, :], axis=-1) - rad[ti][None, :]
         gapb = np.maximum(gapb.min(axis=1), 0.0)
