@@ -43,8 +43,8 @@ LC = 1024
 # Near-kernel segment width: source blocks fetched/evaluated per loop
 # iteration (KSEG DMAs in flight per buffer, double-buffered).  Panels are
 # evaluated in KSPLIT sub-panels to bound VMEM temporaries.
-KSEG = 8
-KSPLIT = 2
+KSEG = 16
+KSPLIT = 4
 
 
 def _interpret() -> bool:
