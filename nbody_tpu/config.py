@@ -78,6 +78,14 @@ class SimConfig:
         if self.force_tile % (8 * 8):
             raise ValueError("force_tile must be a multiple of 64 "
                              "(8 sub-blocks, 128-lane DMA alignment /2)")
+        if self.use_pallas and self.force_tile % 128:
+            # The near kernel windows each source span into an aligned
+            # (force_tile + 128)-wide DMA; with a 64-only multiple a span's
+            # in-window offset could reach 64+count > window and silently
+            # drop trailing P2P forces.  128-alignment bounds off < 128 and
+            # off + count <= 127 + force_tile < window.
+            raise ValueError("force_tile must be a multiple of 128 when "
+                             "use_pallas=True (near-kernel span windows)")
 
     @property
     def n_groups(self) -> int:

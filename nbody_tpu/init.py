@@ -51,30 +51,35 @@ def msvc_rand_sequence(seed: int, count: int) -> np.ndarray:
 
 
 def msvc_rand_floats(seed: int, count: int) -> np.ndarray:
-    """`(float)rand()/RAND_MAX` stream, RAND_MAX=32767, as float64."""
-    return msvc_rand_sequence(seed, count).astype(np.float64) / 32767.0
+    """`(float)rand()/RAND_MAX` stream, RAND_MAX=32767, as float32
+    (the C expression divides in single precision)."""
+    return msvc_rand_sequence(seed, count).astype(np.float32) / np.float32(32767.0)
 
 
 def disk_galaxy_msvc(n: int, seed: int = 42, g: float = 0.5) -> ParticleState:
-    """Bit-parity rebuild of the v5 host IC loop (nbody_v5.cu:395-414).
+    """Rebuild of the v5 host IC loop (nbody_v5.cu:395-414): bit-exact
+    MSVC rand() stream, arithmetic in float32 like the reference's float
+    expressions (position/velocity parity to fp32 rounding of the
+    transcendentals).
 
     Per particle, five rand() draws in statement order: radius, angle,
     z-offset, mass, z-velocity.
     """
+    f32 = np.float32
     u = msvc_rand_floats(seed, 5 * n).reshape(n, 5)
-    r = 200.0 + u[:, 0] * 1500.0
-    a = u[:, 1] * 2.0 * np.pi
+    r = f32(200.0) + u[:, 0] * f32(1500.0)
+    a = u[:, 1] * (f32(2.0) * f32(np.pi))
     px = r * np.cos(a)
     py = r * np.sin(a)
-    pz = (u[:, 2] - 0.5) * (r * 0.05)
-    mass = 2.0 + u[:, 3] * 5.0
+    pz = (u[:, 2] - f32(0.5)) * (r * f32(0.05))
+    mass = f32(2.0) + u[:, 3] * f32(5.0)
     # "Ključna ispravka" — circular orbital speed from the approximate
     # enclosed mass (nbody_v5.cu:406-409).
-    approx_mass_inside = 50000.0 + r * 100.0
-    v_mag = np.sqrt(g * approx_mass_inside / r)
+    approx_mass_inside = f32(50000.0) + r * f32(100.0)
+    v_mag = np.sqrt(f32(g) * approx_mass_inside / r)
     vx = -np.sin(a) * v_mag
     vy = np.cos(a) * v_mag
-    vz = (u[:, 4] - 0.5) * 2.0
+    vz = (u[:, 4] - f32(0.5)) * f32(2.0)
     pos = np.stack([px, py, pz], axis=1).astype(np.float32)
     vel = np.stack([vx, vy, vz], axis=1).astype(np.float32)
     return ParticleState.create(pos, vel, mass.astype(np.float32))

@@ -139,7 +139,11 @@ class Simulation:
             state = self._multi(k)(state)
             done += k
             if callback is not None and callback_every:
-                jax.block_until_ready(state)
+                # host readback, not block_until_ready: the tunnelled TPU
+                # relay acks before execution finishes (see profiling._sync)
+                from nbody_tpu.utils.profiling import _sync
+
+                _sync(state)
                 callback(done, state)
         return state
 

@@ -35,28 +35,29 @@ void nbt_msvc_rand_fill(uint32_t seed, int64_t count, uint16_t* out) {
 
 // v5 disk-galaxy ICs (five rand() draws per body in statement order:
 // radius, angle, z-offset, mass, z-velocity).  Fills [n] arrays.
+// Arithmetic in float, like the reference's float expressions
+// (nbody_v5.cu:395-414) and the Python twin (init.disk_galaxy_msvc).
 void nbt_disk_galaxy_ic(uint32_t seed, int64_t n, float g,
                         float* px, float* py, float* pz,
                         float* vx, float* vy, float* vz, float* mass) {
   uint32_t s = seed;
-  const double RM = 32767.0;
-  const double TWO_PI = 6.283185307179586476925286766559;
-  auto next = [&]() -> double {
+  const float TWO_PI = 2.0f * 3.14159265358979323846f;
+  auto next = [&]() -> float {
     s = s * 214013u + 2531011u;
-    return (double)((s >> 16) & 0x7fff) / RM;
+    return (float)((s >> 16) & 0x7fff) / 32767.0f;
   };
   for (int64_t i = 0; i < n; ++i) {
-    double r = 200.0 + next() * 1500.0;
-    double a = next() * TWO_PI;
-    px[i] = (float)(r * cos(a));
-    py[i] = (float)(r * sin(a));
-    pz[i] = (float)((next() - 0.5) * (r * 0.05));
-    mass[i] = (float)(2.0 + next() * 5.0);
-    double approx_mass_inside = 50000.0 + r * 100.0;
-    double v_mag = sqrt((double)g * approx_mass_inside / r);
-    vx[i] = (float)(-sin(a) * v_mag);
-    vy[i] = (float)(cos(a) * v_mag);
-    vz[i] = (float)((next() - 0.5) * 2.0);
+    float r = 200.0f + next() * 1500.0f;
+    float a = next() * TWO_PI;
+    px[i] = r * cosf(a);
+    py[i] = r * sinf(a);
+    pz[i] = (next() - 0.5f) * (r * 0.05f);
+    mass[i] = 2.0f + next() * 5.0f;
+    float approx_mass_inside = 50000.0f + r * 100.0f;
+    float v_mag = sqrtf(g * approx_mass_inside / r);
+    vx[i] = -sinf(a) * v_mag;
+    vy[i] = cosf(a) * v_mag;
+    vz[i] = (next() - 0.5f) * 2.0f;
   }
 }
 
