@@ -42,10 +42,14 @@ class SimConfig:
     sup_cap: int = 256             # max MAC-failing supers per target
                                    # (each refines to 8 cells; overflow
                                    # flagged)
-    mid_cap: int = 128             # max mid-band (child-monopole) source
-                                   # cells per target (overflow flagged)
-    near_cap: int = 128            # max near-band (exact P2P) source
-                                   # cells per target (overflow flagged)
+    mid_cap: int = 192             # max failing cells per target (each
+                                   # refines to 8 children; overflow
+                                   # flagged)
+    cmid_cap: int = 192            # max failing children per target that
+                                   # refine to grandchild monopoles
+                                   # (overflow flagged)
+    near_cap: int = 256            # max near-band (exact P2P) source
+                                   # children per target (overflow flagged)
     cell_cap_factor: int = 6       # adaptive-cell capacity multiplier:
                                    # capacity = factor * ceil(n/force_tile)
     use_pallas: bool = True        # Pallas force kernels vs pure-jnp

@@ -259,20 +259,79 @@ def make_supers(cells) -> Supers:
 class CellBands(NamedTuple):
     """Per-target source classification over the adaptive cell hierarchy.
 
-    sup: supers failing the MAC (refine to their 8 cells);
-    mid: cells failing whose children all pass (refine to children);
-    near: cells whose children still fail (exact P2P).
+    sup:  supers failing the MAC (refine to their 8 member cells);
+    mid:  cells failing the MAC (refine to their 8 children);
+    cmid: children failing whose grandchildren all pass (refine to the 8
+          grandchild monopoles);
+    near: children whose grandchildren still fail — exact P2P, kept both
+          as child ids (for the anti-monopole table rows) and as MERGED
+          contiguous particle spans (the P2P kernel's unit of work;
+          strictly adjacent spans are coalesced up to force_tile wide).
     """
 
-    sup_idx: jax.Array    # [T, sup_cap] int32 super ids (pad: n_sup_cap)
+    sup_idx: jax.Array    # [T, sup_cap] int32 super ids (pad: n_sup)
     sup_cnt: jax.Array
     mid_idx: jax.Array    # [T, mid_cap] int32 cell ids (pad: g_cap)
     mid_cnt: jax.Array
-    near_idx: jax.Array   # [T, near_cap] int32 cell ids (pad: g_cap)
+    cmid_idx: jax.Array   # [T, cmid_cap] int32 child ids 8*cell+slot (pad: 8*g_cap)
+    cmid_cnt: jax.Array
+    near_idx: jax.Array   # [T, near_cap] int32 child ids (pad: 8*g_cap)
     near_cnt: jax.Array
+    span_first: jax.Array # [T, near_cap] int32 particle starts (pad: 0)
+    span_count: jax.Array # [T, near_cap] int32 span lengths (pad: 0)
+    span_cnt: jax.Array   # [T] int32 merged span count
     sup_overflow: jax.Array
     mid_overflow: jax.Array
+    cmid_overflow: jax.Array
     near_overflow: jax.Array
+
+
+def _row_compact_one(key, big, cap):
+    """Sort-based row compaction of one ascending-key class.
+
+    key: [C, K] int32, `big` for absent.  Returns (idx [C, cap], cnt [C])
+    with absent lanes set to `big`."""
+    skey = lax.sort(key, dimension=1)
+    cnt = jnp.sum((key < big).astype(_I32), axis=1)
+    if cap > skey.shape[1]:
+        skey = jnp.pad(skey, ((0, 0), (0, cap - skey.shape[1])), constant_values=big)
+    lane = jnp.arange(cap, dtype=_I32)[None, :]
+    idx = jnp.where(lane < cnt[:, None], skey[:, :cap], big)
+    return idx, cnt
+
+
+def _merge_spans(f, c, limit, passes=3):
+    """Coalesce strictly adjacent spans into wider ones bounded by `limit`.
+
+    f, c: [R, K] int32 span (first, count) rows, valid spans first and
+    ascending, invalid entries c == 0.  Merging never drops a span, so the
+    merged list stays consistent with the anti-row list it was derived
+    from (a dropped pair would lose exact P2P while keeping the anti-row).
+    Each pass merges pairs then re-packs rows; `passes` passes coalesce
+    runs of up to 2^passes sibling spans — enough, since `limit`
+    (= force_tile) caps real merges well before that.
+    """
+    big = jnp.iinfo(jnp.int32).max // 2 * 2
+    r, k0 = f.shape
+    k = k0
+    if k % 2:
+        f = jnp.pad(f, ((0, 0), (0, 1)))
+        c = jnp.pad(c, ((0, 0), (0, 1)))
+        k += 1
+    for _ in range(passes):
+        fe, ce = f[:, 0::2], c[:, 0::2]
+        fo, co = f[:, 1::2], c[:, 1::2]
+        can = (ce > 0) & (co > 0) & (fo == fe + ce) & (ce + co <= limit)
+        ce = jnp.where(can, ce + co, ce)
+        co = jnp.where(can, 0, co)
+        f = jnp.stack([fe, fo], axis=2).reshape(r, k)
+        c = jnp.stack([ce, co], axis=2).reshape(r, k)
+        key = jnp.where(c > 0, f, big)
+        _, f, c = lax.sort((key, f, c), dimension=1, num_keys=1)
+    f = jnp.where(c > 0, f, 0)
+    # valid entries are packed first and merging never increases their
+    # count, so trimming the alignment pad cannot drop a span
+    return f[:, :k0], c[:, :k0]
 
 
 def _row_compact_two(key_lo, key_hi, big, cap_lo, cap_hi):
@@ -301,39 +360,60 @@ def _row_compact_two(key_lo, key_hi, big, cap_lo, cap_hi):
 
 
 def cell_band_lists(
-    tgt_subs: GroupInfo, supers: Supers, cells, cfg: SimConfig
+    tgt_subs: GroupInfo, supers: Supers, cells, cfg: SimConfig,
+    skin=0.0,
 ) -> CellBands:
-    """Two-stage classification, chunked over targets.
+    """Three-stage classification, chunked over targets.
 
     Stage 1 tests every SUPER against the target's sub-spheres (min gap);
     failing supers are listed.  Stage 2 gathers only the ~sup_cap*8
-    candidate cells of those supers and classifies each as keep-monopole /
-    refine-to-children (mid) / exact (near).  This keeps the classified
-    panel at T x (sup_cap*8) instead of T x G_cells.
+    candidate cells of those supers; failing cells are listed (mid).
+    Stage 3 tests the failing cells' 8 children each: a failing child is
+    refined to its grandchild monopoles if those pass (cmid) or marked for
+    exact P2P (near); near child spans are then coalesced (_merge_spans).
+
+    `skin` is a conservative margin for band REUSE across steps: every
+    MAC becomes (diam + skin) / dist(max(gap - skin, 0)) < theta, so the
+    classification stays valid while any particle moves by <= skin/2
+    (source extent grows by <= skin AND source-COM/target gaps shrink by
+    <= skin in total).  May be a traced scalar.
     """
     s_cap = cfg.sup_cap
-    mid_cap, near_cap = cfg.mid_cap, cfg.near_cap
+    mid_cap, cmid_cap, near_cap = cfg.mid_cap, cfg.cmid_cap, cfg.near_cap
     theta = cfg.theta
     soft = soft_term(cfg)
     n_sup = supers.com.shape[0]
     g_cap = cells.gmass.shape[0]
+    k_cap = 8 * g_cap
     t = tgt_subs.center.shape[0] // SUB_FACTOR
     big = jnp.iinfo(jnp.int32).max // 2 * 2  # even sentinel
 
-    # packed per-cell fields for stage 2: [g_cap+1, 11] (zero pad row):
-    # com(3), diam, child_diam_max, child-COM box lo(3), hi(3).
-    # The child-acceptance bound needs "closest possible child COM"; the
-    # exact child COMs are known per cell, so their bounding box is a
-    # tight-and-correct bound (the full parent cell box is ~40% slower).
-    kid_ok = cells.child_gmass > 0
+    # packed per-cell fields for stage 2: [g_cap+1, 4] (zero pad row)
+    cellf = jnp.concatenate([cells.com, cells.diam[:, None]], axis=1)
+    cellf = jnp.concatenate([cellf, jnp.zeros((1, 4), jnp.float32)])
+
+    # packed per-child fields for stage 3: [g_cap+1, 8, 12] (zero pad row):
+    # com(3), diam, gchild_diam_max, gc-COM box lo(3), hi(3), gmass.
+    # The grandchild-acceptance bound needs "closest possible grandchild
+    # COM"; their bounding box is a tight-and-correct bound.
+    gc_ok = cells.gchild_gmass > 0
     big_f = jnp.float32(3.0e38)
-    cc_lo = jnp.min(jnp.where(kid_ok[..., None], cells.child_com, big_f), axis=1)
-    cc_hi = jnp.max(jnp.where(kid_ok[..., None], cells.child_com, -big_f), axis=1)
-    cellf = jnp.concatenate(
-        [cells.com, cells.diam[:, None], cells.child_diam_max[:, None],
-         cc_lo, cc_hi], axis=1
+    gc_lo = jnp.min(jnp.where(gc_ok[..., None], cells.gchild_com, big_f), axis=2)
+    gc_hi = jnp.max(jnp.where(gc_ok[..., None], cells.gchild_com, -big_f), axis=2)
+    kidf = jnp.concatenate(
+        [cells.child_com, cells.child_diam[..., None],
+         cells.gchild_diam_max[..., None], gc_lo, gc_hi,
+         cells.child_gmass[..., None]], axis=-1
+    )                                                       # [Gc, 8, 12]
+    kidf = jnp.concatenate([kidf, jnp.zeros((1, 8, 12), jnp.float32)])
+
+    # flat per-child spans for the near band: [8*g_cap + 1] (zero pad)
+    cf_flat = jnp.concatenate(
+        [cells.child_first.reshape(-1), jnp.zeros((1,), _I32)]
     )
-    cellf = jnp.concatenate([cellf, jnp.zeros((1, 11), jnp.float32)])
+    cc_flat = jnp.concatenate(
+        [cells.child_count.reshape(-1), jnp.zeros((1,), _I32)]
+    )
 
     centers = tgt_subs.center.reshape(t, SUB_FACTOR, 3)
     radii = tgt_subs.radius.reshape(t, SUB_FACTOR)
@@ -346,65 +426,88 @@ def cell_band_lists(
     row_real = (jnp.arange(t_pad, dtype=_I32) < t).reshape(-1, chunk)
 
     sup_ids = jnp.arange(n_sup, dtype=_I32)[None, :]
-
-    def min_gap(com, ctr, rad):
-        # com [.., 3] sources; ctr [C, S, 3], rad [C, S] target sub-spheres
-        d = com[None, :, None, :] - ctr[:, None, :, :]
-        gap = jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad[:, None, :]
-        return jnp.maximum(jnp.min(gap, axis=-1), 0.0)
+    arange8 = jnp.arange(8, dtype=_I32)
 
     def one_chunk(args):
         ctr, rad, real = args                # [C,S,3],[C,S],[C]
+        c_rows = ctr.shape[0]
+
+        def sub_gap(com):
+            # com [C, K, 3] per-row sources -> skin-deflated min gap over
+            # the target's sub-spheres [C, K]
+            d = com[:, :, None, :] - ctr[:, None, :, :]
+            gap = jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad[:, None, :]
+            gap = jnp.maximum(jnp.min(gap, axis=-1), 0.0)
+            return jnp.maximum(gap - skin, 0.0)
+
         # stage 1: supers
-        gap = min_gap(supers.com, ctr, rad)                # [C, n_sup]
+        d = supers.com[None, :, None, :] - ctr[:, None, :, :]
+        gap = jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad[:, None, :]
+        gap = jnp.maximum(jnp.maximum(jnp.min(gap, axis=-1), 0.0) - skin, 0.0)
         dist = jnp.sqrt(gap * gap + soft)
-        fail2 = supers.diam[None, :] / dist >= theta
-        key = jnp.where(fail2, sup_ids, big)
-        skey = lax.sort(key, dimension=1)
-        sup_cnt = jnp.sum(fail2.astype(_I32), axis=1)
-        if s_cap > n_sup:
-            skey = jnp.pad(skey, ((0, 0), (0, s_cap - n_sup)), constant_values=big)
-        lane = jnp.arange(s_cap, dtype=_I32)[None, :]
-        sup_idx = jnp.where(lane < sup_cnt[:, None], skey[:, :s_cap], big)
+        fail1 = (supers.diam[None, :] + skin) / dist >= theta
+        sup_cnt = jnp.sum(fail1.astype(_I32), axis=1)
+        sup_idx, _ = _row_compact_one(
+            jnp.where(fail1, sup_ids, big), big, s_cap
+        )
 
         # stage 2: the failing supers' cells (clamp BEFORE expanding — the
         # `big` padding sentinel would overflow int32 when multiplied)
         sup_c = jnp.minimum(sup_idx, n_sup)                # pad -> n_sup
-        cand = sup_c[:, :, None] * 8 + jnp.arange(8, dtype=_I32)[None, None, :]
-        cand = jnp.minimum(cand, g_cap).reshape(ctr.shape[0], -1)  # pad -> g_cap
-        f = cellf[cand]                                    # [C, K, 11]
+        cand = sup_c[:, :, None] * 8 + arange8[None, None, :]
+        cand = jnp.minimum(cand, g_cap).reshape(c_rows, -1)  # pad -> g_cap
+        f = cellf[cand]                                    # [C, K2, 4]
         # cell-as-monopole test: distance to the cell's own COM (the
         # reference's criterion, nbody_v5.cu:232), conservative over the
         # target's members via its sub-spheres
-        d = f[..., 0:3][:, :, None, :] - ctr[:, None, :, :]
-        gapc = jnp.maximum(
-            jnp.min(jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad[:, None, :], axis=-1),
-            0.0,
+        distc = jnp.sqrt(sub_gap(f[..., 0:3]) ** 2 + soft)
+        failc = ((f[..., 3] + skin) / distc >= theta) & (cand < g_cap)
+        mc_raw = jnp.sum(failc.astype(_I32), axis=1)
+        mid_idx, _ = _row_compact_one(
+            jnp.where(failc, cand, big), big, mid_cap
         )
-        distc = jnp.sqrt(gapc * gapc + soft)
-        diam = f[..., 3]
-        cdm = f[..., 4]
-        # child-acceptance test: conservative distance is the gap from the
-        # target sub-spheres to the bounding box of the CHILD COMs (every
-        # child monopole sits inside it), not to the parent COM
-        blo = f[..., 5:8]
-        bhi = f[..., 8:11]
+
+        # stage 3: the failing cells' children, each tested on its own
+        # monopole; failing children refine to grandchildren (cmid) if the
+        # gc-COM-box bound passes, else exact P2P (near)
+        midc = jnp.minimum(mid_idx, g_cap)                 # pad -> g_cap
+        kf = kidf[midc].reshape(c_rows, mid_cap * 8, 12)   # [C, K3, 12]
+        kid_id = (midc[:, :, None] * 8 + arange8[None, None, :]).reshape(
+            c_rows, -1
+        )                                                  # pad -> >= k_cap
+        distk = jnp.sqrt(sub_gap(kf[..., 0:3]) ** 2 + soft)
+        live = (kf[..., 11] > 0) & (kid_id < k_cap)
+        failk = ((kf[..., 3] + skin) / distk >= theta) & live
+        blo = kf[..., 5:8]
+        bhi = kf[..., 8:11]
         cl = jnp.clip(ctr[:, None, :, :], blo[:, :, None, :], bhi[:, :, None, :])
         gap_box = jnp.linalg.norm(cl - ctr[:, None, :, :], axis=-1) - rad[:, None, :]
-        gap_box = jnp.maximum(jnp.min(gap_box, axis=-1), 0.0)
+        gap_box = jnp.maximum(
+            jnp.maximum(jnp.min(gap_box, axis=-1), 0.0) - skin, 0.0
+        )
         dist_box = jnp.sqrt(gap_box * gap_box + soft)
-        failc = (diam / distc >= theta) & (cand < g_cap)
-        midm = failc & (cdm / dist_box < theta)
-        nearm = failc & ~midm
-        key_m = jnp.where(midm, cand, big)
-        key_n = jnp.where(nearm, cand + big // 2, big)
-        mi, mc, ni, nc = _row_compact_two(key_m, key_n, big, mid_cap, near_cap)
+        cmid_m = failk & ((kf[..., 4] + skin) / dist_box < theta)
+        near_m = failk & ~cmid_m
+        key_c = jnp.where(cmid_m, kid_id, big)
+        key_n = jnp.where(near_m, kid_id + big // 2, big)
+        ci, cc, ni, nc = _row_compact_two(key_c, key_n, big, cmid_cap, near_cap)
+
+        # near spans: child (first, count), merged where strictly adjacent
+        ni_safe = jnp.minimum(ni, k_cap)
+        sf = cf_flat[ni_safe]
+        scnt = cc_flat[ni_safe]
+        sf, scnt = _merge_spans(sf, scnt, cfg.force_tile)
+        span_cnt = jnp.sum((scnt > 0).astype(_I32), axis=1)
+
         return (
             jnp.minimum(sup_idx, n_sup), jnp.minimum(sup_cnt, s_cap),
-            jnp.minimum(mi, g_cap), jnp.minimum(mc, mid_cap),
-            jnp.minimum(ni, g_cap), jnp.minimum(nc, near_cap),
+            jnp.minimum(mid_idx, g_cap), jnp.minimum(mc_raw, mid_cap),
+            jnp.minimum(ci, k_cap), jnp.minimum(cc, cmid_cap),
+            ni_safe, jnp.minimum(nc, near_cap),
+            sf, scnt, span_cnt,
             jnp.any(real & (sup_cnt > s_cap)),
-            jnp.any(real & (mc > mid_cap)),
+            jnp.any(real & (mc_raw > mid_cap)),
+            jnp.any(real & (cc > cmid_cap)),
             jnp.any(real & (nc > near_cap)),
         )
 
@@ -414,33 +517,44 @@ def cell_band_lists(
          radii.reshape(-1, chunk, SUB_FACTOR),
          row_real),
     )
-    si, sc, mi, mc, ni, nc, so, mo, no = res
+    si, sc, mi, mc, ci, cc, ni, nc, sf, scnt, spc, so, mo, co, no = res
     return CellBands(
         sup_idx=si.reshape(t_pad, s_cap)[:t],
         sup_cnt=sc.reshape(t_pad)[:t],
         mid_idx=mi.reshape(t_pad, mid_cap)[:t],
         mid_cnt=mc.reshape(t_pad)[:t],
+        cmid_idx=ci.reshape(t_pad, cmid_cap)[:t],
+        cmid_cnt=cc.reshape(t_pad)[:t],
         near_idx=ni.reshape(t_pad, near_cap)[:t],
         near_cnt=nc.reshape(t_pad)[:t],
+        span_first=sf.reshape(t_pad, near_cap)[:t],
+        span_count=scnt.reshape(t_pad, near_cap)[:t],
+        span_cnt=spc.reshape(t_pad)[:t],
         sup_overflow=jnp.any(so),
         mid_overflow=jnp.any(mo),
+        cmid_overflow=jnp.any(co),
         near_overflow=jnp.any(no),
     )
 
 
 def build_cell_tables(cells, supers: Supers, bands: CellBands) -> jax.Array:
-    """Per-target source tables [T, sup_cap*9 + mid_cap*9 + near_cap, 4].
+    """Per-target source tables
+    [T, (sup_cap + mid_cap + cmid_cap)*9 + near_cap, 4].
 
     Row layout [x, y, z, G*mass]:
       * each failing SUPER contributes its 8 member-cell monopoles plus
         the super monopole with negated mass (the far sweep added it);
-      * each MID cell contributes its 8 child monopoles plus itself
-        negated (band A added the cell monopole);
-      * each NEAR cell contributes only its negated self — its exact P2P
-        comes from the near kernel.
-    Padding ids resolve to an all-zero row.
+      * each failing CELL (mid) contributes its 8 child monopoles plus
+        itself negated (band A added the cell monopole);
+      * each CMID child contributes its 8 grandchild monopoles plus itself
+        negated (band B added the child monopole);
+      * each NEAR child contributes only its negated self — its exact P2P
+        comes from the span kernel.
+    Padding ids resolve to an all-zero row, so every band telescopes to
+    net-zero mass beyond its refinement.
     """
     g_cap = cells.gmass.shape[0]
+    k_cap = 8 * g_cap
     n_sup = supers.com.shape[0]
     t = bands.sup_idx.shape[0]
 
@@ -463,11 +577,20 @@ def build_cell_tables(cells, supers: Supers, bands: CellBands) -> jax.Array:
     extB = jnp.concatenate([extB, jnp.zeros((1, 36), jnp.float32)])
     tabB = extB[jnp.minimum(bands.mid_idx, g_cap)].reshape(t, -1, 4)
 
-    anti = jnp.concatenate([cells.com, -cells.gmass[:, None]], axis=1)
-    anti = jnp.concatenate([anti, jnp.zeros((1, 4), jnp.float32)])
-    tabN = anti[jnp.minimum(bands.near_idx, g_cap)]
+    gc4 = jnp.concatenate(
+        [cells.gchild_com, cells.gchild_gmass[..., None]], axis=-1
+    ).reshape(k_cap, 8, 4)
+    anti_child = jnp.concatenate(
+        [child4[..., 0:3], -child4[..., 3:4]], axis=-1
+    ).reshape(k_cap, 4)
+    extC = jnp.concatenate([gc4, anti_child[:, None, :]], axis=1).reshape(k_cap, 36)
+    extC = jnp.concatenate([extC, jnp.zeros((1, 36), jnp.float32)])
+    tabC = extC[jnp.minimum(bands.cmid_idx, k_cap)].reshape(t, -1, 4)
 
-    return jnp.concatenate([tabA, tabB, tabN], axis=1)
+    antiN = jnp.concatenate([anti_child, jnp.zeros((1, 4), jnp.float32)])
+    tabN = antiN[jnp.minimum(bands.near_idx, k_cap)]
+
+    return jnp.concatenate([tabA, tabB, tabC, tabN], axis=1)
 
 
 def table_sweep_jnp(tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig) -> jax.Array:
@@ -501,46 +624,48 @@ def far_sweep_jnp(pos_s: jax.Array, supers: Supers, cfg: SimConfig) -> jax.Array
 
 def near_correction_jnp(
     tgt_pos: jax.Array, src_pos: jax.Array, src_mass: jax.Array,
-    cells, near_idx: jax.Array, cfg: SimConfig,
+    span_first: jax.Array, span_count: jax.Array, cfg: SimConfig,
 ) -> jax.Array:
-    """Exact P2P against every near cell (jnp twin of the Pallas kernel;
-    gathers — CPU/tests only).  The matching anti-cell monopole rows live
-    in the band tables, so this band is pure particle-particle work.
+    """Exact P2P against every merged near span (jnp twin of the Pallas
+    kernel; gathers — CPU/tests only).  The matching anti-child monopole
+    rows live in the band tables, so this band is pure particle-particle
+    work.
 
     Targets may be a slab of the global sorted order (multi-chip); the
-    source particle arrays and cells are always global.
+    source particle arrays and spans are always global.
     """
     b = cfg.force_tile
     n = tgt_pos.shape[0]
     n_src = src_pos.shape[0]
-    g_cap = cells.gmass.shape[0]
     soft = soft_term(cfg)
     tp3 = tgt_pos.reshape(-1, b, 3)
     lane = jnp.arange(b, dtype=_I32)[None, :]
 
-    first_x = jnp.concatenate([cells.first, jnp.zeros((1,), _I32)])
-    count_x = jnp.concatenate([cells.count, jnp.zeros((1,), _I32)])
-
     def one(args):
-        pb, idx = args                       # [B,3], [C]
-        f = first_x[idx]                     # [C]
-        c = count_x[idx]
-        pick = jnp.clip(f[:, None] + lane, 0, n_src - 1)   # [C, B]
+        pb, f, c = args                      # [B,3], [K], [K]
+        pick = jnp.clip(f[:, None] + lane, 0, n_src - 1)   # [K, B]
         ok = lane < c[:, None]
         q = src_pos[pick].reshape(-1, 3)
         qm = jnp.where(ok, src_mass[pick], 0.0).reshape(-1)
         return _panel_accel(pb, q, qm, cfg.g, soft)
 
-    acc = lax.map(one, (tp3, near_idx))
+    acc = lax.map(one, (tp3, span_first, span_count))
     return acc.reshape(n, 3)
 
 
-def build_bands(pos_s: jax.Array, mass_s: jax.Array, codes_s: jax.Array, cfg: SimConfig):
+def build_bands(
+    pos_s: jax.Array, mass_s: jax.Array, codes_s: jax.Array, cfg: SimConfig,
+    skin=0.0,
+):
     """The shared band-construction prologue of the production force path:
     adaptive cells -> supers -> target sub-spheres -> band lists -> tables.
     Single source of truth for bh_forces_grouped, the sharded step,
     diagnostics, and the phase profiler.  Inputs must be Morton-sorted and
-    padded to a force_tile multiple (pad_sorted)."""
+    padded to a force_tile multiple (pad_sorted).
+
+    `skin` (see cell_band_lists) widens every MAC so the returned
+    structures stay conservative while particles drift up to skin/2 —
+    the basis of multi-step band reuse."""
     from nbody_tpu.ops import bbox as _bbox
     from nbody_tpu.ops.cells import build_source_cells
 
@@ -553,7 +678,7 @@ def build_bands(pos_s: jax.Array, mass_s: jax.Array, codes_s: jax.Array, cfg: Si
     )
     supers = make_supers(cells)
     tgt_subs = target_subspheres(pos_s, b)
-    bands = cell_band_lists(tgt_subs, supers, cells, cfg)
+    bands = cell_band_lists(tgt_subs, supers, cells, cfg, skin=skin)
     tables = build_cell_tables(cells, supers, bands)
     return cells, supers, bands, tables
 
@@ -564,31 +689,47 @@ def bh_forces_grouped(
     """Production Barnes-Hut forces on Morton-sorted, block-padded arrays.
 
     Hierarchy: supers (8 cells) -> adaptive octree cells (<= force_tile
-    bodies) -> children (depth+1 cells).  Telescoping bands:
+    bodies) -> children (depth+1 cells) -> grandchildren (depth+2).
+    Telescoping bands:
       dense far sweep over all super monopoles
     + per-target tables: failing supers -> cell monopoles; failing cells
-      with passing children -> child monopoles; each refinement carries an
-      anti-row cancelling the coarser term
-    + exact P2P for cells whose children still fail.
-    Every approximated cell satisfies width/dist < theta for every target
-    particle (conservative sub-sphere bound; criterion per nbody_v5.cu:232).
+      -> child monopoles; failing children with passing grandchildren ->
+      grandchild monopoles; each refinement carries an anti-row cancelling
+      the coarser term
+    + exact P2P spans for children whose grandchildren still fail.
+    Every approximated region satisfies width/dist < theta for every
+    target particle (conservative sub-sphere bound; criterion per
+    nbody_v5.cu:232).
     """
     cells, supers, bands, tables = build_bands(pos_s, mass_s, codes_s, cfg)
+    return apply_bands(pos_s, mass_s, supers, bands, tables, cfg)
 
+
+def apply_bands(
+    pos_s: jax.Array, mass_s: jax.Array, supers: Supers, bands: CellBands,
+    tables: jax.Array, cfg: SimConfig,
+    src_pos: jax.Array | None = None, src_mass: jax.Array | None = None,
+) -> jax.Array:
+    """Evaluate the three force bands against (possibly frozen) band
+    structures.  `src_pos`/`src_mass` default to the targets (single-chip);
+    the sharded step passes the global arrays."""
+    if src_pos is None:
+        src_pos, src_mass = pos_s, mass_s
     if cfg.use_pallas:
         from nbody_tpu.ops.pallas.forces import (
-            far_sweep_pallas, table_sweep_pallas, near_correction_pallas,
+            far_sweep_pallas, table_sweep_pallas, near_span_pallas,
         )
 
         far = far_sweep_pallas(pos_s, supers, cfg)
         mid = table_sweep_pallas(pos_s, tables, cfg)
-        near = near_correction_pallas(
-            pos_s, pos_s, mass_s, cells, bands.near_idx, bands.near_cnt, cfg
+        near = near_span_pallas(
+            pos_s, src_pos, src_mass,
+            bands.span_first, bands.span_count, bands.span_cnt, cfg,
         )
     else:
         far = far_sweep_jnp(pos_s, supers, cfg)
         mid = table_sweep_jnp(pos_s, tables, cfg)
         near = near_correction_jnp(
-            pos_s, pos_s, mass_s, cells, bands.near_idx, cfg
+            pos_s, src_pos, src_mass, bands.span_first, bands.span_count, cfg
         )
     return far + mid + near

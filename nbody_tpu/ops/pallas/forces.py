@@ -11,10 +11,11 @@ the TPU-native design never gathers on the hot path):
   * `table_sweep_pallas`     — the same panel math over PER-TARGET band
     tables (cell/child monopoles + anti-rows) gathered by the band
     classifier.
-  * `near_correction_pallas` — exact P2P against near source cells.  A
-    cell's particles are CONTIGUOUS in the Morton-sorted arrays, so they
+  * `near_span_pallas`       — exact P2P against merged near spans.  A
+    near child's particles are CONTIGUOUS in the Morton-sorted arrays
+    (and adjacent children are pre-merged by the classifier), so they
     arrive as 128-aligned block DMAs (KSEG spans per wait round, double
-    buffered); per-cell list rows are DMA'd into SMEM for scalar
+    buffered); per-target span rows are DMA'd into SMEM for scalar
     indexing.
 
 Layout notes (fp32 tiles are (8,128), lanes last — see the Pallas guide):
@@ -182,19 +183,19 @@ def table_sweep_pallas(tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig) ->
 
 def _near_kernel(
     # scalar prefetch
-    cnt_ref,             # (T,) int32 SMEM — near-list lengths
-    cfirst_ref,          # (Gc,) int32 SMEM — cell start indices
-    ccount_ref,          # (Gc,) int32 SMEM — cell particle counts
+    cnt_ref,             # (T,) int32 SMEM — span-list lengths
     # tensor inputs
-    near_ref,            # (T, C) int32 HBM — near lists (cell ids)
+    spanf_ref,           # (T, 1, C) int32 HBM — span starts (sorted order)
+    spanc_ref,           # (T, 1, C) int32 HBM — span lengths (<= B)
     pos_ref,             # (1, B, 3) VMEM — target block
     srcm_ref,            # (4, N) HBM — planar [x; y; z; mass], Morton order
     # output
     acc_ref,             # (1, B, 3) VMEM
     # scratch
-    idx_smem,            # (C,) int32 SMEM — this target's near list
-    idx_sem,             # DMA semaphore
-    buf,                 # (2, 4, KSEG*B) VMEM — pipelined source spans
+    sf_smem,             # (1, C) int32 SMEM — this target's span starts
+    sc_smem,             # (1, C) int32 SMEM — this target's span lengths
+    row_sem,             # DMA semaphores (2,)
+    buf,                 # (2, 4, KSEG*(B+128)) VMEM — pipelined spans
     sem,                 # DMA semaphores (2, KSEG)
     *,
     b: int,
@@ -203,13 +204,14 @@ def _near_kernel(
     soft: float,
     g_const: float,
 ):
-    """Pure P2P against variable-count source CELLS: each near cell is a
-    contiguous span [first, first+count) of the sorted arrays with
-    count <= B.  A fixed B-wide window starting at min(first, N-B) is
-    DMA'd; lanes outside [first, first+count) are masked.  Each loop
-    iteration fetches a SEGMENT of KSEG spans (one wait round) and
-    evaluates KSPLIT sub-panels.  The matching anti-cell monopoles are
-    handled by the band-table sweep.
+    """Pure P2P against MERGED SOURCE SPANS: each span is a contiguous
+    run [first, first+count) of the sorted arrays with count <= B (the
+    classifier merges adjacent near children up to that bound).  A fixed
+    (B+128)-wide 128-aligned window containing the span is DMA'd; lanes
+    outside [first, first+count) are masked.  Each loop iteration fetches
+    a SEGMENT of KSEG spans (one wait round) and evaluates KSPLIT
+    sub-panels.  The matching anti-child monopoles are handled by the
+    band-table sweep.
     """
     i = pl.program_id(0)
     cnt = cnt_ref[i]
@@ -218,22 +220,28 @@ def _near_kernel(
     px, py, pz = p[:, 0:1], p[:, 1:2], p[:, 2:3]
     wspan = b + 128                      # aligned span window
 
-    # The full (T, C) list table exceeds SMEM, so each program DMAs just
-    # its own row (dynamic scalar indexing is an SMEM-only operation).
-    row_dma = pltpu.make_async_copy(near_ref.at[i], idx_smem, idx_sem)
-    row_dma.start()
-    row_dma.wait()
+    # The full span tables exceed SMEM, so each program DMAs just its own
+    # rows (dynamic scalar indexing is an SMEM-only operation).  The row
+    # axis is a LEADING non-tiled dim — slicing a (8,128)-tiled dim 0 at
+    # size 1 is a Mosaic error when the table lands in VMEM.
+    f_dma = pltpu.make_async_copy(spanf_ref.at[i], sf_smem, row_sem.at[0])
+    c_dma = pltpu.make_async_copy(spanc_ref.at[i], sc_smem, row_sem.at[1])
+    f_dma.start()
+    c_dma.start()
+    f_dma.wait()
+    c_dma.wait()
 
     def span_start(k):
         # HBM DMA slices must be 128-lane aligned: window = the aligned
-        # b+128 span containing [first, first+count); clamp to [0, ...] —
-        # the wrapper pads the source arrays to at least wspan columns
-        h = idx_smem[jnp.minimum(k, cap - 1)]
-        raw = jnp.maximum(jnp.minimum(cfirst_ref[h], n_src - wspan), 0)
+        # b+128 span containing [first, first+count); the wrapper pads the
+        # source arrays to a 128 multiple >= wspan, so the clamped window
+        # always contains the whole span (off + count <= wspan)
+        f = sf_smem[0, jnp.minimum(k, cap - 1)]
+        raw = jnp.maximum(jnp.minimum(f, n_src - wspan), 0)
         return pl.multiple_of(raw // 128 * 128, 128)
 
     def seg_dma(slot, s, j):
-        # list entries past cnt are clamped ids — masked out in the panel
+        # list entries past cnt are zero spans — masked out in the panel
         k = s * KSEG + j
         return pltpu.make_async_copy(
             srcm_ref.at[:, pl.ds(span_start(k), wspan)],
@@ -272,9 +280,9 @@ def _near_kernel(
             cnts = []
             for j in range(per):
                 k = s * KSEG + half * per + j
-                h = idx_smem[jnp.minimum(k, cap - 1)]
-                off = cfirst_ref[h] - span_start(k)
-                c = jnp.where(k < cnt, ccount_ref[h], 0)
+                kc = jnp.minimum(k, cap - 1)
+                off = sf_smem[0, kc] - span_start(k)
+                c = jnp.where(k < cnt, sc_smem[0, kc], 0)
                 offs.append(jnp.full((1, wspan), off, jnp.int32))
                 cnts.append(jnp.full((1, wspan), c, jnp.int32))
             off_v = jnp.concatenate(offs, axis=1)          # (1, kb)
@@ -297,56 +305,61 @@ def _near_kernel(
     acc_ref[0] = lax.fori_loop(0, n_seg, body, acc0)
 
 
-def near_correction_pallas(
+def near_span_pallas(
     tgt_pos: jax.Array,
     src_pos: jax.Array,
     src_mass: jax.Array,
-    cells,
-    near_idx: jax.Array,
-    near_cnt: jax.Array,
+    span_first: jax.Array,
+    span_count: jax.Array,
+    span_cnt: jax.Array,
     cfg: SimConfig,
 ) -> jax.Array:
-    """Exact P2P against near source cells; twin of
+    """Exact P2P against merged near spans; twin of
     forces.near_correction_jnp.  Targets may be a slab of the sorted
-    order; the source arrays and cells are global."""
+    order; the source arrays and spans are global."""
     from nbody_tpu.ops.forces import soft_term
 
     n = tgt_pos.shape[0]
     n_src = src_pos.shape[0]
     b = cfg.force_tile
-    g_cap = cells.gmass.shape[0]
     t = n // b
-    cap = near_idx.shape[1]
+    cap = span_first.shape[1]
+    wspan = b + 128
 
     srcm = jnp.concatenate([src_pos.T, src_mass[None, :]], axis=0)  # (4, N) planar
-    # clamp padding entries (== g_cap) to the last table slot; padded
-    # cells have count 0, so their lanes are masked in-kernel
-    near_safe = jnp.minimum(near_idx, g_cap - 1)
-    # HBM->SMEM row DMAs need a 128-aligned minor dimension
+    # pad source columns to a 128 multiple of at least wspan so every
+    # aligned window is in bounds (zero mass => no force contribution)
+    n_srcp = max(-(-n_src // 128) * 128, wspan)
+    if n_srcp != n_src:
+        srcm = jnp.pad(srcm, ((0, 0), (0, n_srcp - n_src)))
+    # HBM->SMEM row DMAs need a 128-aligned minor dimension; the row axis
+    # becomes a leading non-tiled dim (see kernel comment)
     cap2 = -(-cap // 128) * 128
     if cap2 != cap:
-        near_safe = jnp.pad(near_safe, ((0, 0), (0, cap2 - cap)))
-    # cell tables for the kernel: padded cells get first 0 / count 0
-    cfirst = jnp.where(cells.count > 0, cells.first, 0).astype(jnp.int32)
-    ccount = cells.count.astype(jnp.int32)
+        span_first = jnp.pad(span_first, ((0, 0), (0, cap2 - cap)))
+        span_count = jnp.pad(span_count, ((0, 0), (0, cap2 - cap)))
+    span_first = span_first.reshape(t, 1, cap2)
+    span_count = span_count.reshape(t, 1, cap2)
 
     kernel = functools.partial(
-        _near_kernel, b=b, cap=cap2, n_src=n_src,
+        _near_kernel, b=b, cap=cap2, n_src=n_srcp,
         soft=float(soft_term(cfg)), g_const=float(cfg.g),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(t,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, b, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, b, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((cap2,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.VMEM((2, 4, KSEG * (b + 128)), jnp.float32),
+            pltpu.SMEM((1, cap2), jnp.int32),
+            pltpu.SMEM((1, cap2), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 4, KSEG * wspan), jnp.float32),
             pltpu.SemaphoreType.DMA((2, KSEG)),
         ],
     )
@@ -360,6 +373,7 @@ def near_correction_pallas(
             bytes_accessed=n * cap * 16 // 4,
             transcendentals=n * cap * b // 4,
         ),
-    )(near_cnt.astype(jnp.int32), cfirst, ccount,
-      near_safe.astype(jnp.int32), tgt_pos.reshape(t, b, 3), srcm)
+    )(span_cnt.astype(jnp.int32),
+      span_first.astype(jnp.int32), span_count.astype(jnp.int32),
+      tgt_pos.reshape(t, b, 3), srcm)
     return acc.reshape(n, 3)

@@ -86,30 +86,21 @@ def _local_bh_step(pos, vel, mass, acc, cfg: SimConfig):
     my_bands = forces.CellBands(
         sup_idx=_slab(bands.sup_idx), sup_cnt=_slab(bands.sup_cnt),
         mid_idx=_slab(bands.mid_idx), mid_cnt=_slab(bands.mid_cnt),
+        cmid_idx=_slab(bands.cmid_idx), cmid_cnt=_slab(bands.cmid_cnt),
         near_idx=_slab(bands.near_idx), near_cnt=_slab(bands.near_cnt),
+        span_first=_slab(bands.span_first),
+        span_count=_slab(bands.span_count),
+        span_cnt=_slab(bands.span_cnt),
         sup_overflow=bands.sup_overflow,
         mid_overflow=bands.mid_overflow,
+        cmid_overflow=bands.cmid_overflow,
         near_overflow=bands.near_overflow,
     )
     my_tab = forces.build_cell_tables(cells, supers, my_bands)
-
-    if cfg.use_pallas:
-        from nbody_tpu.ops.pallas.forces import (
-            far_sweep_pallas, table_sweep_pallas, near_correction_pallas,
-        )
-
-        far = far_sweep_pallas(my_pos, supers, cfg)
-        mid = table_sweep_pallas(my_pos, my_tab, cfg)
-        corr = near_correction_pallas(
-            my_pos, pos_s, mass_s, cells, my_bands.near_idx, my_bands.near_cnt, cfg
-        )
-    else:
-        far = forces.far_sweep_jnp(my_pos, supers, cfg)
-        mid = forces.table_sweep_jnp(my_pos, my_tab, cfg)
-        corr = forces.near_correction_jnp(
-            my_pos, pos_s, mass_s, cells, my_bands.near_idx, cfg
-        )
-    acc_slab = far + mid + corr
+    acc_slab = forces.apply_bands(
+        my_pos, None, supers, my_bands, my_tab, cfg,
+        src_pos=pos_s, src_mass=mass_s,
+    )
 
     # Re-assemble sorted acc and route back to original sharded order.
     acc_s = jax.lax.all_gather(acc_slab, AXIS).reshape(-1, 3)

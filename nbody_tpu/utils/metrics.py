@@ -90,9 +90,12 @@ def bh_diagnostics(state: ParticleState, cfg: SimConfig) -> Dict[str, float]:
         "cell_overflow": bool(cells.overflow),
         "sup_mean": float(jnp.mean(bands.sup_cnt)),
         "mid_mean": float(jnp.mean(bands.mid_cnt)),
+        "cmid_mean": float(jnp.mean(bands.cmid_cnt)),
         "near_mean": float(jnp.mean(bands.near_cnt)),
+        "span_mean": float(jnp.mean(bands.span_cnt)),
         "sup_overflow": bool(bands.sup_overflow),
         "mid_overflow": bool(bands.mid_overflow),
+        "cmid_overflow": bool(bands.cmid_overflow),
         "near_overflow": bool(bands.near_overflow),
     }
 

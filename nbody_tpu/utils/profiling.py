@@ -115,15 +115,15 @@ def phase_times(
 
     if cfg.use_pallas:
         from nbody_tpu.ops.pallas.forces import (
-            far_sweep_pallas, table_sweep_pallas, near_correction_pallas,
+            far_sweep_pallas, table_sweep_pallas, near_span_pallas,
         )
 
-        far_fn, mid_fn, near_fn = far_sweep_pallas, table_sweep_pallas, near_correction_pallas
+        far_fn, mid_fn, near_fn = far_sweep_pallas, table_sweep_pallas, near_span_pallas
     else:
         far_fn = forces.far_sweep_jnp
         mid_fn = forces.table_sweep_jnp
-        near_fn = lambda tp, sp, sm, gi, ni, nc, c: forces.near_correction_jnp(
-            tp, sp, sm, gi, ni, c
+        near_fn = lambda tp, sp, sm, sf, sc, scnt, c: forces.near_correction_jnp(
+            tp, sp, sm, sf, sc, c
         )
 
     @jax.jit
@@ -135,12 +135,12 @@ def phase_times(
         return mid_fn(pos_p, mid_tab, cfg)
 
     @jax.jit
-    def ph_near(pos_p, mass_p, cells, near_idx, near_cnt):
-        return near_fn(pos_p, pos_p, mass_p, cells, near_idx, near_cnt, cfg)
+    def ph_near(pos_p, mass_p, span_first, span_count, span_cnt):
+        return near_fn(pos_p, pos_p, mass_p, span_first, span_count, span_cnt, cfg)
 
     acc_s = jax.block_until_ready(
         ph_far(pos_p, supers) + ph_mid(pos_p, mid_tab)
-        + ph_near(pos_p, mass_p, cells, bands.near_idx, bands.near_cnt)
+        + ph_near(pos_p, mass_p, bands.span_first, bands.span_count, bands.span_cnt)
     )[: pos.shape[0]]
 
     @jax.jit
@@ -152,7 +152,7 @@ def phase_times(
         "groups_ms": time_fn(ph_groups, pos_p, mass_p, codes_p, iters=iters)["median_ms"],
         "far_ms": time_fn(ph_far, pos_p, supers, iters=iters)["median_ms"],
         "mid_ms": time_fn(ph_mid, pos_p, mid_tab, iters=iters)["median_ms"],
-        "near_ms": time_fn(ph_near, pos_p, mass_p, cells, bands.near_idx, bands.near_cnt, iters=iters)["median_ms"],
+        "near_ms": time_fn(ph_near, pos_p, mass_p, bands.span_first, bands.span_count, bands.span_cnt, iters=iters)["median_ms"],
         "integrate_ms": time_fn(ph_integrate, state, acc_s, iters=iters)["median_ms"],
     }
     if include_tree:

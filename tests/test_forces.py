@@ -115,18 +115,25 @@ def test_supers_aggregate_cells():
     np.testing.assert_allclose(np.asarray(supers.com)[ok], want[ok], rtol=1e-3, atol=1e-2)
 
 
-def test_cell_band_partition_against_numpy():
-    """Recompute the two-stage classification in numpy: every (target,
-    cell) pair is far / mid / near consistently with the compacted lists,
-    and every approximated cell satisfies width/dist < theta."""
+@pytest.mark.parametrize("skin", [0.0, 25.0])
+def test_cell_band_partition_against_numpy(skin):
+    """Recompute the three-stage classification in numpy: every (target,
+    source) pair lands in far / mid / cmid / near consistently with the
+    compacted lists, every approximated region satisfies the
+    (skin-inflated) MAC, and the merged exact spans cover exactly the
+    union of the near children's particles."""
     n = 2048
     cfg = SimConfig(n=n, theta=0.5, force_tile=128, use_pallas=False,
-                    sup_cap=64, mid_cap=512, near_cap=256)
+                    sup_cap=64, mid_cap=512, cmid_cap=1024, near_cap=1024)
     pos, mass = _cloud(n, seed=5)
     pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
-    cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
+    cells, supers, bands, _ = forces.build_bands(
+        pos_s, mass_s, codes_s, cfg, skin=skin
+    )
+    tgt_subs = forces.target_subspheres(pos_s, cfg.force_tile)
     assert not bool(bands.sup_overflow)
     assert not bool(bands.mid_overflow)
+    assert not bool(bands.cmid_overflow)
     assert not bool(bands.near_overflow)
 
     t = pos_s.shape[0] // cfg.force_tile
@@ -140,71 +147,113 @@ def test_cell_band_partition_against_numpy():
     sup_diam = np.asarray(supers.diam)
     c_com = np.asarray(cells.com)
     c_diam = np.asarray(cells.diam)
-    c_cdm = np.asarray(cells.child_diam_max)
+    k_com = np.asarray(cells.child_com)        # [Gc, 8, 3]
+    k_diam = np.asarray(cells.child_diam)
+    k_gm = np.asarray(cells.child_gmass)
+    k_first = np.asarray(cells.child_first)
+    k_count = np.asarray(cells.child_count)
+    gdm = np.asarray(cells.gchild_diam_max)    # [Gc, 8]
+    gc_gm = np.asarray(cells.gchild_gmass)     # [Gc, 8, 8]
+    gc_com = np.asarray(cells.gchild_com)
     g_cap = c_com.shape[0]
 
     def min_gap(coms, tc, tr):
         gap = np.linalg.norm(coms[:, None, :] - tc[None, :, :], axis=-1) - tr[None, :]
-        return np.maximum(gap.min(axis=1), 0.0)
+        return np.maximum(np.maximum(gap.min(axis=1), 0.0) - skin, 0.0)
 
     si, sc = np.asarray(bands.sup_idx), np.asarray(bands.sup_cnt)
     mi, mc = np.asarray(bands.mid_idx), np.asarray(bands.mid_cnt)
+    ci, cc = np.asarray(bands.cmid_idx), np.asarray(bands.cmid_cnt)
     ni, nc = np.asarray(bands.near_idx), np.asarray(bands.near_cnt)
+    spf, spc = np.asarray(bands.span_first), np.asarray(bands.span_count)
+    spn = np.asarray(bands.span_cnt)
     for ti in range(t):
-        dist2 = np.sqrt(min_gap(sup_com, ctr[ti], rad[ti]) ** 2 + soft)
-        fail2 = sup_diam / dist2 >= th
-        assert set(si[ti, : sc[ti]]) == set(np.nonzero(fail2)[0])
-        # candidate cells of failing supers
+        dist1 = np.sqrt(min_gap(sup_com, ctr[ti], rad[ti]) ** 2 + soft)
+        fail1 = (sup_diam + skin) / dist1 >= th
+        assert set(si[ti, : sc[ti]]) == set(np.nonzero(fail1)[0])
+        # stage 2: candidate cells of failing supers
         cand = sorted(
-            c for H in np.nonzero(fail2)[0] for c in range(8 * H, 8 * H + 8)
+            c for H in np.nonzero(fail1)[0] for c in range(8 * H, 8 * H + 8)
         )
         cand = [c for c in cand if c < g_cap]
         distc = np.sqrt(min_gap(c_com[cand], ctr[ti], rad[ti]) ** 2 + soft)
-        failc = c_diam[cand] / distc >= th
-        # child test: conservative gap to the child-COM bounding box
-        kid_ok = np.asarray(cells.child_gmass) > 0
-        ccom = np.asarray(cells.child_com)
-        big = 3.0e38
-        blo = np.where(kid_ok[..., None], ccom, big).min(axis=1)[cand]
-        bhi = np.where(kid_ok[..., None], ccom, -big).max(axis=1)[cand]
-        cl = np.clip(ctr[ti][None, :, :], blo[:, None, :], bhi[:, None, :])
-        gapb = np.linalg.norm(cl - ctr[ti][None, :, :], axis=-1) - rad[ti][None, :]
-        gapb = np.maximum(gapb.min(axis=1), 0.0)
-        distb = np.sqrt(gapb * gapb + soft)
-        midm = failc & (c_cdm[cand] / distb < th)
-        nearm = failc & ~midm
-        want_mid = {cand[k] for k in np.nonzero(midm)[0]}
-        want_near = {cand[k] for k in np.nonzero(nearm)[0]}
+        failc = (c_diam[cand] + skin) / distc >= th
+        want_mid = {cand[k] for k in np.nonzero(failc)[0]}
         assert set(mi[ti, : mc[ti]]) == want_mid
+        # stage 3: children of failing cells
+        want_cmid, want_near = set(), set()
+        for g in sorted(want_mid):
+            for j in range(8):
+                if k_gm[g, j] <= 0:
+                    continue
+                distk = np.sqrt(
+                    min_gap(k_com[g, j][None], ctr[ti], rad[ti]) ** 2 + soft
+                )[0]
+                if (k_diam[g, j] + skin) / distk < th:
+                    continue
+                # grandchild test: gap to the gc-COM bounding box
+                ok = gc_gm[g, j] > 0
+                blo = gc_com[g, j][ok].min(axis=0)
+                bhi = gc_com[g, j][ok].max(axis=0)
+                cl = np.clip(ctr[ti], blo, bhi)
+                gapb = np.linalg.norm(cl - ctr[ti], axis=-1) - rad[ti]
+                gapb = max(max(gapb.min(), 0.0) - skin, 0.0)
+                distb = np.sqrt(gapb * gapb + soft)
+                if (gdm[g, j] + skin) / distb < th:
+                    want_cmid.add(8 * g + j)
+                else:
+                    want_near.add(8 * g + j)
+        assert set(ci[ti, : cc[ti]]) == want_cmid
         assert set(ni[ti, : nc[ti]]) == want_near
+        # merged spans == union of near-child particle indices, no overlap
+        want_pts = set()
+        for k in want_near:
+            g, j = divmod(k, 8)
+            want_pts |= set(range(k_first[g, j], k_first[g, j] + k_count[g, j]))
+        got_pts = []
+        for k in range(spn[ti]):
+            assert spc[ti, k] > 0
+            assert spc[ti, k] <= cfg.force_tile
+            got_pts.extend(range(spf[ti, k], spf[ti, k] + spc[ti, k]))
+        assert len(got_pts) == len(set(got_pts))  # disjoint spans
+        assert set(got_pts) == want_pts
+        assert np.all(spc[ti, spn[ti]:] == 0)
 
 
 def test_cell_tables_telescoping():
     """Sum of table masses per target == 0 net beyond refinement: each
-    failing super's 8 cells minus itself, each mid cell's children minus
-    itself, each near cell minus itself."""
+    failing super's 8 cells minus itself, each failing cell's children
+    minus itself, each cmid child's grandchildren minus itself, each near
+    child minus itself."""
     n = 2048
     cfg = SimConfig(n=n, theta=0.5, force_tile=128, use_pallas=False,
-                    sup_cap=64, mid_cap=512, near_cap=256)
+                    sup_cap=64, mid_cap=512, cmid_cap=1024, near_cap=1024)
     pos, mass = _cloud(n, seed=5)
     pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
     cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
     tab = np.asarray(forces.build_cell_tables(cells, supers, bands))
     nc = np.asarray(bands.near_cnt)
     ni = np.asarray(bands.near_idx)
-    gm = np.asarray(cells.gmass)
+    kgm = np.asarray(cells.child_gmass).reshape(-1)
     a_cols = cfg.sup_cap * 9
     b_cols = cfg.mid_cap * 9
+    c_cols = cfg.cmid_cap * 9
     for ti in range(min(tab.shape[0], 4)):
-        # A rows: 8 cells - super => net 0; B rows: children - cell => 0
+        # A rows: 8 cells - super => net 0; B rows: children - cell => 0;
+        # C rows: grandchildren - child => 0
         np.testing.assert_allclose(tab[ti, :a_cols, 3].sum(), 0.0, atol=2e-2)
         np.testing.assert_allclose(
             tab[ti, a_cols:a_cols + b_cols, 3].sum(), 0.0, atol=2e-2
         )
-        # N rows: minus each near cell's mass
-        want = -gm[ni[ti, : nc[ti]]].sum()
         np.testing.assert_allclose(
-            tab[ti, a_cols + b_cols:, 3].sum(), want, rtol=1e-4, atol=1e-3
+            tab[ti, a_cols + b_cols:a_cols + b_cols + c_cols, 3].sum(),
+            0.0, atol=2e-2,
+        )
+        # N rows: minus each near child's mass
+        want = -kgm[ni[ti, : nc[ti]]].sum()
+        np.testing.assert_allclose(
+            tab[ti, a_cols + b_cols + c_cols:, 3].sum(), want,
+            rtol=1e-4, atol=1e-3,
         )
 
 
@@ -214,7 +263,7 @@ def test_grouped_matches_direct_within_theta_error():
     tolerance and no worse than the per-particle reference walk."""
     n = 2048
     cfg = SimConfig(n=n, theta=0.5, force_tile=256, use_pallas=False,
-                    sup_cap=32, mid_cap=256, near_cap=128)
+                    sup_cap=32, mid_cap=256, cmid_cap=512, near_cap=512)
     pos, mass = _cloud(n, seed=4)
     tree, pos_s, mass_s, _ = _sorted_tree(pos, mass, cfg)
     acc_ref = np.asarray(forces.bh_forces_reference(pos_s, tree, cfg))
@@ -232,7 +281,7 @@ def test_band_sum_equals_full_decomposition():
     """far + mid + near must equal bh_forces_grouped exactly."""
     n = 1024
     cfg = SimConfig(n=n, theta=0.5, force_tile=128, use_pallas=False,
-                    sup_cap=64, mid_cap=512, near_cap=256)
+                    sup_cap=64, mid_cap=512, cmid_cap=1024, near_cap=1024)
     pos, mass = _cloud(n, seed=6)
     pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
     cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
@@ -240,7 +289,9 @@ def test_band_sum_equals_full_decomposition():
     far = np.asarray(forces.far_sweep_jnp(pos_s, supers, cfg))
     mid = np.asarray(forces.table_sweep_jnp(pos_s, tab, cfg))
     corr = np.asarray(
-        forces.near_correction_jnp(pos_s, pos_s, mass_s, cells, bands.near_idx, cfg)
+        forces.near_correction_jnp(
+            pos_s, pos_s, mass_s, bands.span_first, bands.span_count, cfg
+        )
     )
     total = np.asarray(forces.bh_forces_grouped(pos_s, mass_s, codes_s, cfg))
     np.testing.assert_allclose(far + mid + corr, total, rtol=1e-5, atol=1e-5)
@@ -249,14 +300,14 @@ def test_band_sum_equals_full_decomposition():
 def test_pallas_matches_jnp_far_mid_near():
     n = 1024
     cfg = SimConfig(n=n, theta=0.5, force_tile=128, use_pallas=False,
-                    sup_cap=64, mid_cap=512, near_cap=256)
+                    sup_cap=64, mid_cap=512, cmid_cap=1024, near_cap=1024)
     pos, mass = _cloud(n, seed=6)
     pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
     cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
     tab = forces.build_cell_tables(cells, supers, bands)
 
     from nbody_tpu.ops.pallas.forces import (
-        far_sweep_pallas, table_sweep_pallas, near_correction_pallas,
+        far_sweep_pallas, table_sweep_pallas, near_span_pallas,
     )
 
     f_jnp = forces.far_sweep_jnp(pos_s, supers, cfg)
@@ -267,9 +318,12 @@ def test_pallas_matches_jnp_far_mid_near():
     m_pal = table_sweep_pallas(pos_s, tab, cfg)
     np.testing.assert_allclose(np.asarray(m_pal), np.asarray(m_jnp), rtol=2e-5, atol=2e-4)
 
-    c_jnp = forces.near_correction_jnp(pos_s, pos_s, mass_s, cells, bands.near_idx, cfg)
-    c_pal = near_correction_pallas(
-        pos_s, pos_s, mass_s, cells, bands.near_idx, bands.near_cnt, cfg
+    c_jnp = forces.near_correction_jnp(
+        pos_s, pos_s, mass_s, bands.span_first, bands.span_count, cfg
+    )
+    c_pal = near_span_pallas(
+        pos_s, pos_s, mass_s,
+        bands.span_first, bands.span_count, bands.span_cnt, cfg,
     )
     np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_jnp), rtol=2e-5, atol=2e-4)
 
@@ -277,7 +331,7 @@ def test_pallas_matches_jnp_far_mid_near():
 def test_pad_to_groups_massless():
     n = 1000
     cfg = SimConfig(n=n, force_tile=256, use_pallas=False,
-                    sup_cap=16, mid_cap=128, near_cap=64)
+                    sup_cap=16, mid_cap=128, cmid_cap=256, near_cap=256)
     pos, mass = _cloud(n, seed=7)
     pos_p, mass_p, codes_p = _sorted_grouped(pos, mass, cfg)
     assert pos_p.shape[0] == 1024
