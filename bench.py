@@ -2,12 +2,24 @@
 """Driver benchmark: Barnes-Hut steps/sec at N=1M, theta=0.5 on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 The metric is the BASELINE.json headline ("steps/sec at 1M particles
 (theta=0.5)").  The CUDA reference publishes no numbers (BASELINE.md), so
-vs_baseline is reported against an estimated sm_75 v5_bench step time; the
-raw per-phase breakdown is printed to stderr for the record.
+vs_baseline is reported against an estimated sm_75 v5_bench step time.
+Extra fields make the claim falsifiable from this one invocation:
+  gflops / mfu      — executed fp32 FLOP rate from the band statistics
+                      (far/mid sweeps + near span segments) vs the v5e
+                      VPU fp32 peak estimate
+  drift_100         — |E1 - E0| / |E0| over 100 further steps (KE + the
+                      softened PE, the BASELINE.json physics criterion)
+  selfcheck_*       — max relative Pallas-vs-jnp twin error measured on
+                      THE REAL BACKEND at n=50k (Mosaic regression guard)
+Raw per-phase numbers go to stderr for the record.
+
+Env knobs: NBODY_BENCH_N, NBODY_BENCH_FRAMES, NBODY_BENCH_K
+(rebuild_every), NBODY_BENCH_PHASES=1, NBODY_BENCH_SKIP_DRIFT=1,
+NBODY_BENCH_SKIP_SELFCHECK=1.
 """
 
 import json
@@ -15,10 +27,88 @@ import os
 import sys
 import time
 
+# v5e VPU fp32 peak estimate: 8x128 lanes x 4 ALUs x ~0.94 GHz.  The force
+# panels are VPU-bound (rsqrt counted as 1 flop), so this is the honest
+# denominator for utilization — the bf16 MXU peak is not reachable by this
+# workload shape.
+VPU_PEAK_FP32 = 3.8e12
+
+
+def band_flops(cfg, bands, n_pad, s_pad):
+    """Executed fp32 flops per step from the band structure (18 flops per
+    (target particle, source lane), incl. masked/padding lanes — what the
+    VPU actually executes)."""
+    import jax.numpy as jnp
+
+    t = n_pad // cfg.force_tile
+    rows = (cfg.sup_cap + cfg.mid_cap + cfg.cmid_cap) * 9 + cfg.near_cap
+    rows_pad = -(-rows // 1024) * 1024
+    far = 18 * n_pad * s_pad
+    mid = 18 * n_pad * rows_pad
+    # near kernel: ceil(span_cnt / KSEG) segments of KSEG windows each
+    from nbody_tpu.ops.pallas.forces import KSEG
+
+    segs = int(jnp.sum((bands.span_cnt + KSEG - 1) // KSEG))
+    near = 18 * segs * KSEG * (cfg.force_tile + 128) * cfg.force_tile
+    useful_near = 18 * int(jnp.sum(bands.span_count)) * cfg.force_tile
+    useful_rows = 9 * (
+        int(jnp.sum(bands.sup_cnt)) + int(jnp.sum(bands.mid_cnt))
+        + int(jnp.sum(bands.cmid_cnt))
+    ) + int(jnp.sum(bands.near_cnt))
+    useful = 18 * (n_pad * s_pad + useful_rows * cfg.force_tile) + useful_near
+    return far + mid + near, useful
+
+
+def selfcheck(on_tpu: bool):
+    """Pallas-vs-jnp twin agreement on the CURRENT backend (n=50k)."""
+    import numpy as np
+    import jax
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.ops import bbox, morton, forces
+    from nbody_tpu.init import make_initial_state
+    from nbody_tpu.ops.pallas.forces import (
+        far_sweep_pallas, table_sweep_pallas, near_span_pallas,
+    )
+
+    cfg = SimConfig(n=50_000, use_pallas=True)
+    st = make_initial_state(cfg)
+    lo, size = bbox.bounding_cube(st.pos)
+    sc, perm = morton.morton_sort_30(morton.encode30(st.pos, lo, size))
+    ps, ms, cs = forces.pad_sorted(st.pos[perm], st.mass[perm], sc, cfg.force_tile)
+    _, supers, bd, tab = jax.jit(
+        lambda p, m, c: forces.build_bands(p, m, c, cfg)
+    )(ps, ms, cs)
+
+    def rel(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        den = np.linalg.norm(b, axis=1) + 1e-6
+        return float(np.max(np.linalg.norm(a - b, axis=1) / den))
+
+    out = {
+        "selfcheck_far": rel(
+            jax.jit(lambda p, s: far_sweep_pallas(p, s, cfg))(ps, supers),
+            jax.jit(lambda p, s: forces.far_sweep_jnp(p, s, cfg))(ps, supers),
+        ),
+        "selfcheck_mid": rel(
+            jax.jit(lambda p, t: table_sweep_pallas(p, t, cfg))(ps, tab),
+            jax.jit(lambda p, t: forces.table_sweep_jnp(p, t, cfg))(ps, tab),
+        ),
+        "selfcheck_near": rel(
+            jax.jit(lambda p, m, f, c, n: near_span_pallas(p, p, m, f, c, n, cfg))(
+                ps, ms, bd.span_first, bd.span_count, bd.span_cnt
+            ),
+            jax.jit(lambda p, m, f, c: forces.near_correction_jnp(p, p, m, f, c, cfg))(
+                ps, ms, bd.span_first, bd.span_count
+            ),
+        ),
+    }
+    return out
+
 
 def main():
     n = int(os.environ.get("NBODY_BENCH_N", 1_000_000))
     frames = int(os.environ.get("NBODY_BENCH_FRAMES", 20))
+    k = int(os.environ.get("NBODY_BENCH_K", 8))
 
     import jax
 
@@ -30,9 +120,10 @@ def main():
         n = 50_000  # keep CPU smoke runs sane
         frames = min(frames, 3)
 
-    cfg = SimConfig(n=n, theta=0.5, use_pallas=on_tpu)
+    cfg = SimConfig(n=n, theta=0.5, use_pallas=on_tpu, rebuild_every=k)
     sim = Simulation(cfg, method="barnes_hut")
-    print(f"[bench] n={n} theta={cfg.theta} platform={jax.devices()[0]}", file=sys.stderr)
+    print(f"[bench] n={n} theta={cfg.theta} K={k} platform={jax.devices()[0]}",
+          file=sys.stderr)
 
     from nbody_tpu.utils.profiling import _sync
 
@@ -58,9 +149,9 @@ def main():
     med = times[len(times) // 2]
     print(f"[bench] dispatched step: {med*1e3:.2f} ms  ({1.0/med:.2f} steps/s)", file=sys.stderr)
 
-    # sustained throughput: frames inside one compiled lax.scan (no
-    # per-step host dispatch) — the headline metric; falls back to the
-    # dispatched rate if the scan path fails for any reason
+    # sustained throughput: frames inside compiled lax.scans (band-reuse
+    # cycles, no per-step host dispatch) — the headline metric; falls back
+    # to the dispatched rate if the scan path fails for any reason
     steps_per_sec = 1.0 / med
     try:
         state = sim.run_scan(state, frames)   # compile
@@ -84,9 +175,64 @@ def main():
         except Exception as e:  # phase breakdown is best-effort
             print(f"[bench] phase timing failed: {e}", file=sys.stderr)
 
-    # physics sanity for the record: kinetic energy + bbox (what the
-    # legacy binaries print at exit)
+    # FLOP accounting from the actual band structure at the current state
+    from nbody_tpu.ops import bbox as _bbox, morton as _morton, forces as _forces
     from nbody_tpu.utils import metrics
+
+    extra = {}
+    try:
+        lo, size = _bbox.bounding_cube(state.pos)
+        sc, perm = _morton.morton_sort_30(_morton.encode30(state.pos, lo, size))
+        ps, ms, cs = _forces.pad_sorted(
+            state.pos[perm], state.mass[perm], sc, cfg.force_tile
+        )
+        cells, supers, bands, _ = jax.jit(
+            lambda p, m, c: _forces.build_bands(p, m, c, cfg)
+        )(ps, ms, cs)
+        s_pad = -(-supers.com.shape[0] // 1024) * 1024
+        step_s = 1.0 / steps_per_sec
+        fl, fl_useful = band_flops(cfg, bands, ps.shape[0], s_pad)
+        extra["gflops"] = round(fl / step_s / 1e9, 1)
+        extra["gflops_useful"] = round(fl_useful / step_s / 1e9, 1)
+        extra["mfu"] = round(fl / step_s / VPU_PEAK_FP32, 4)
+        import jax.numpy as jnp
+
+        extra["overflow"] = bool(
+            bands.sup_overflow | bands.mid_overflow
+            | bands.cmid_overflow | bands.near_overflow | cells.overflow
+        )
+        print(f"[bench] bands: sup={float(jnp.mean(bands.sup_cnt)):.1f} "
+              f"mid={float(jnp.mean(bands.mid_cnt)):.1f} "
+              f"cmid={float(jnp.mean(bands.cmid_cnt)):.1f} "
+              f"near={float(jnp.mean(bands.near_cnt)):.1f} "
+              f"spans={float(jnp.mean(bands.span_cnt)):.1f} "
+              f"n_cells={int(cells.n_cells)} overflow={extra['overflow']}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] flop accounting failed: {e}", file=sys.stderr)
+
+    # physics: energy drift over 100 further steps (KE + softened PE)
+    if not os.environ.get("NBODY_BENCH_SKIP_DRIFT"):
+        try:
+            e0 = float(metrics.total_energy(state, cfg))
+            state2 = sim.run_scan(state, 100)
+            _sync(state2)
+            e1 = float(metrics.total_energy(state2, cfg))
+            extra["drift_100"] = round(metrics.energy_drift(e0, e1), 6)
+            print(f"[bench] E0={e0:.6e} E1={e1:.6e} drift_100={extra['drift_100']}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] drift measurement failed: {e}", file=sys.stderr)
+
+    # Mosaic twin self-check on the real backend
+    if not os.environ.get("NBODY_BENCH_SKIP_SELFCHECK"):
+        try:
+            extra.update({kk: round(v, 8) for kk, v in selfcheck(on_tpu).items()})
+            print(f"[bench] selfcheck: far={extra.get('selfcheck_far')} "
+                  f"mid={extra.get('selfcheck_mid')} near={extra.get('selfcheck_near')}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] selfcheck failed: {e}", file=sys.stderr)
 
     print(f"[bench] KE: {float(metrics.kinetic_energy(state)):.4e}", file=sys.stderr)
 
@@ -95,12 +241,14 @@ def main():
     # class hardware: ~100 ms/step (serial O(N) bbox kernel + 152 MB memset
     # + ~977 insert launches + traversal) => 10 steps/s.
     baseline_steps_per_sec = 10.0
-    print(json.dumps({
+    out = {
         "metric": "bh_steps_per_sec_1M_theta0.5" if n == 1_000_000 else f"bh_steps_per_sec_{n}_theta0.5",
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / baseline_steps_per_sec, 3),
-    }))
+    }
+    out.update(extra)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

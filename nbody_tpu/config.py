@@ -53,6 +53,12 @@ class SimConfig:
     cell_cap_factor: int = 6       # adaptive-cell capacity multiplier:
                                    # capacity = factor * ceil(n/force_tile)
     use_pallas: bool = True        # Pallas force kernels vs pure-jnp
+    rebuild_every: int = 1         # K: rebuild sort/cells/bands every K
+                                   # steps; between rebuilds the frozen
+                                   # band structure stays conservative via
+                                   # a skin margin (models/simulation.py)
+    skin_safety: float = 1.3       # safety factor on the per-cycle drift
+                                   # bound that sets the skin margin
     # --- initial conditions (nbody_v5.cu:395-414) ---
     seed: int = 42
     ic_kind: str = "disk_galaxy"   # "disk_galaxy" (v5) | "legacy_disk"

@@ -84,6 +84,103 @@ def step_direct(state: ParticleState, cfg: SimConfig) -> ParticleState:
     return integ.integrate(state, acc, cfg)
 
 
+# ---------------------------------------------------------------------------
+# Multi-step band reuse ("skin" cycles)
+#
+# Rebuilding sort + cells + classification + tables every step costs ~1/3
+# of a 1M step but the structure barely changes between steps.  A CYCLE
+# rebuilds once with every MAC inflated by a skin margin, then reuses the
+# frozen structure for K steps:
+#   * the particle ORDER is frozen (no re-sort): cells/spans stay valid as
+#     index ranges by construction;
+#   * the SOURCE representation (super/cell/child/grandchild monopoles,
+#     tables, span lists) is frozen: stale by at most the per-cycle drift
+#     bound, which the skin absorbs — every approximated region still
+#     satisfies width/dist < theta against live positions;
+#   * TARGET positions are live: the far/mid sweeps re-evaluate against
+#     live targets each step, and the exact near band is live on both
+#     sides (spans index the frozen order, positions are current).
+# The drift bound is sum_{j=1..K} (vmax + j*amax*dt)*dt from the rebuild's
+# measured max speed/acceleration, times cfg.skin_safety (capped by
+# MAX_SPEED*DT*K when speed clamping is on, nbody_v5.cu:262-269).
+# ---------------------------------------------------------------------------
+
+
+def _pad_cycle_state(state: ParticleState, b: int):
+    """Pad to a force_tile multiple with massless clones of the last
+    particle (clone velocity too, so pads track the cloud); `orig` maps
+    each padded row to its original index (pads -> n, dropped on scatter).
+    """
+    n = state.pos.shape[0]
+    n_pad = -(-n // b) * b
+    pad = n_pad - n
+    orig = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32), jnp.full((pad,), n, jnp.int32)]
+    )
+    if pad == 0:
+        return state.pos, state.vel, state.mass, state.acc, orig
+    pos = jnp.concatenate([state.pos, jnp.broadcast_to(state.pos[-1], (pad, 3))])
+    vel = jnp.concatenate([state.vel, jnp.broadcast_to(state.vel[-1], (pad, 3))])
+    mass = jnp.concatenate([state.mass, jnp.zeros((pad,), state.mass.dtype)])
+    acc = jnp.concatenate([state.acc, jnp.zeros((pad, 3), state.acc.dtype)])
+    return pos, vel, mass, acc, orig
+
+
+def make_cycle_runner(cfg: SimConfig, n_cycles: int, k: int):
+    """A jittable function advancing a state by n_cycles * k steps with
+    one band rebuild per cycle."""
+
+    def cycle(carry, _):
+        pos, vel, mass, acc, orig = carry
+        lo, size = bbox.bounding_cube(pos)
+        codes = morton.encode30(pos, lo, size)
+        codes_s, perm = morton.morton_sort_30(codes)
+        pos, vel, mass, acc, orig = (
+            pos[perm], vel[perm], mass[perm], acc[perm], orig[perm]
+        )
+        # conservative per-particle drift bound over the cycle
+        vmax = jnp.sqrt(jnp.max(jnp.sum(vel * vel, axis=1)))
+        amax = jnp.sqrt(jnp.max(jnp.sum(acc * acc, axis=1)))
+        drift = (
+            vmax * cfg.dt * k + 0.5 * amax * cfg.dt * cfg.dt * k * (k + 1)
+        ) * cfg.skin_safety
+        if cfg.clamp_speed:
+            drift = jnp.minimum(drift, cfg.max_speed * cfg.dt * k)
+        # sources move <= drift AND targets move <= drift: inflate by both
+        skin = 2.0 * drift
+        _, supers, bands, tables = forces.build_bands(
+            pos, mass, codes_s, cfg, skin=skin
+        )
+
+        def inner(c2, _):
+            p, v, _ = c2
+            a = forces.apply_bands(p, mass, supers, bands, tables, cfg)
+            st = integ.integrate(
+                ParticleState(pos=p, vel=v, mass=mass, acc=a), a, cfg
+            )
+            return (st.pos, st.vel, a), None
+
+        (pos, vel, acc), _ = jax.lax.scan(
+            inner, (pos, vel, acc), None, length=k
+        )
+        return (pos, vel, mass, acc, orig), None
+
+    def run(state: ParticleState) -> ParticleState:
+        n = state.pos.shape[0]
+        carry = _pad_cycle_state(state, cfg.force_tile)
+        carry, _ = jax.lax.scan(cycle, carry, None, length=n_cycles)
+        pos, vel, mass, acc, orig = carry
+        # scatter back to original order (pad rows' orig == n: dropped)
+        return ParticleState(
+            pos=jnp.zeros((n, 3), pos.dtype).at[orig].set(pos),
+            vel=jnp.zeros((n, 3), vel.dtype).at[orig].set(vel),
+            mass=state.mass,
+            acc=jnp.zeros((n, 3), acc.dtype).at[orig].set(acc),
+        )
+
+    return run
+
+
 class Simulation:
     """User-facing driver: owns a config, a jitted step, and the state.
 
@@ -136,7 +233,7 @@ class Simulation:
         done = 0
         while done < n_steps:
             k = min(chunk, n_steps - done)
-            state = self._multi(k)(state)
+            state = self.run_scan(state, k)
             done += k
             if callback is not None and callback_every:
                 # host readback, not block_until_ready: the tunnelled TPU
@@ -166,7 +263,24 @@ class Simulation:
         return self._multi_cache[k]
 
     def run_scan(self, state: ParticleState, n_steps: int) -> ParticleState:
-        """Advance n_steps inside a single compiled lax.scan — no per-step
+        """Advance n_steps inside compiled lax.scans — no per-step
         dispatch at all (the reference necessarily re-launches ~500 kernels
-        per step from the host)."""
-        return self._multi(n_steps)(state)
+        per step from the host).  With cfg.rebuild_every = K > 1 the
+        production path rebuilds bands once per K steps (skin cycles)."""
+        k = self.cfg.rebuild_every
+        if self.method != "barnes_hut" or k <= 1:
+            return self._multi(n_steps)(state)
+        n_cycles, rem = divmod(n_steps, k)
+        if n_cycles:
+            state = self._cycles(n_cycles, k)(state)
+        if rem:
+            state = self._cycles(1, rem)(state)
+        return state
+
+    def _cycles(self, n_cycles: int, k: int):
+        key = ("cycles", n_cycles, k)
+        if key not in self._multi_cache:
+            self._multi_cache[key] = jax.jit(
+                make_cycle_runner(self.cfg, n_cycles, k)
+            )
+        return self._multi_cache[key]

@@ -113,3 +113,40 @@ def test_run_scan_matches_run():
     np.testing.assert_allclose(
         np.asarray(out_loop.pos), np.asarray(out_scan.pos), rtol=1e-6, atol=1e-6
     )
+
+
+def test_cycle_reuse_matches_per_step_rebuild():
+    """rebuild_every=4 (frozen bands + skin margin) must track the
+    per-step-rebuilt trajectory: over 8 steps of a 4096-body galaxy the
+    positions should agree to a tiny fraction of the typical displacement
+    (~ |v| dt * steps ~ 1.6 units here)."""
+    n = 4096
+    cfg1 = SimConfig(n=n, force_tile=256, use_pallas=False,
+                     sup_cap=64, mid_cap=256, cmid_cap=512, near_cap=512)
+    cfgk = cfg1.replace(rebuild_every=4)
+    state = disk_galaxy_jax(n, seed=6, g=cfg1.g)
+    out1 = Simulation(cfg1, method="barnes_hut").run_scan(state, 8)
+    outk = Simulation(cfgk, method="barnes_hut").run_scan(state, 8)
+    dp = np.linalg.norm(np.asarray(out1.pos) - np.asarray(outk.pos), axis=1)
+    moved = np.linalg.norm(np.asarray(out1.pos) - np.asarray(state.pos), axis=1)
+    assert np.median(moved) > 0.5          # the galaxy actually rotated
+    assert np.max(dp) < 0.05 * max(np.median(moved), 1.0), (
+        np.max(dp), np.median(moved)
+    )
+
+
+def test_cycle_reuse_remainder_and_padding():
+    """n not a multiple of force_tile, n_steps not a multiple of K: the
+    cycle path must still advance exactly n_steps and keep particle
+    identities (mass unchanged, padding rows dropped)."""
+    n = 1000
+    cfg1 = SimConfig(n=n, force_tile=256, use_pallas=False,
+                     sup_cap=32, mid_cap=128, cmid_cap=256, near_cap=256)
+    cfgk = cfg1.replace(rebuild_every=4)
+    state = disk_galaxy_jax(n, seed=7, g=cfg1.g)
+    out1 = Simulation(cfg1, method="barnes_hut").run_scan(state, 6)
+    outk = Simulation(cfgk, method="barnes_hut").run_scan(state, 6)
+    assert outk.pos.shape == (n, 3)
+    np.testing.assert_array_equal(np.asarray(outk.mass), np.asarray(state.mass))
+    dp = np.linalg.norm(np.asarray(out1.pos) - np.asarray(outk.pos), axis=1)
+    assert np.max(dp) < 0.2, np.max(dp)
