@@ -34,28 +34,28 @@ import time
 VPU_PEAK_FP32 = 3.8e12
 
 
-def band_flops(cfg, bands, n_pad, s_pad):
+def band_flops(cfg, bands, n_pad, s_used):
     """Executed fp32 flops per step from the band structure (18 flops per
     (target particle, source lane), incl. masked/padding lanes — what the
-    VPU actually executes)."""
+    VPU actually executes).  All three kernels skip dead chunks, so the
+    executed counts are chunk-rounded live counts."""
     import jax.numpy as jnp
+    from nbody_tpu.ops.pallas.forces import KSEG, WSPAN, LC
 
-    t = n_pad // cfg.force_tile
-    rows = (cfg.sup_cap + cfg.mid_cap + cfg.cmid_cap) * 9 + cfg.near_cap
-    rows_pad = -(-rows // 1024) * 1024
-    far = 18 * n_pad * s_pad
-    mid = 18 * n_pad * rows_pad
+    far = 18 * n_pad * (-(-s_used // LC) * LC)
+    # mid: per-target ceil(live rows / LC) chunks
+    row_cnt = cfg.near_cap + 9 * (bands.sup_cnt + bands.mid_cnt + bands.cmid_cnt)
+    mid_chunks = int(jnp.sum(-(-row_cnt // LC)))
+    mid = 18 * cfg.force_tile * mid_chunks * LC
     # near kernel: ceil(span_cnt / KSEG) segments of KSEG windows each
-    from nbody_tpu.ops.pallas.forces import KSEG
-
     segs = int(jnp.sum((bands.span_cnt + KSEG - 1) // KSEG))
-    near = 18 * segs * KSEG * (cfg.force_tile + 128) * cfg.force_tile
+    near = 18 * segs * KSEG * WSPAN * cfg.force_tile
     useful_near = 18 * int(jnp.sum(bands.span_count)) * cfg.force_tile
     useful_rows = 9 * (
         int(jnp.sum(bands.sup_cnt)) + int(jnp.sum(bands.mid_cnt))
         + int(jnp.sum(bands.cmid_cnt))
     ) + int(jnp.sum(bands.near_cnt))
-    useful = 18 * (n_pad * s_pad + useful_rows * cfg.force_tile) + useful_near
+    useful = 18 * (n_pad * s_used + useful_rows * cfg.force_tile) + useful_near
     return far + mid + near, useful
 
 
@@ -90,8 +90,10 @@ def selfcheck(on_tpu: bool):
             jax.jit(lambda p, s: forces.far_sweep_jnp(p, s, cfg))(ps, supers),
         ),
         "selfcheck_mid": rel(
-            jax.jit(lambda p, t: table_sweep_pallas(p, t, cfg))(ps, tab),
-            jax.jit(lambda p, t: forces.table_sweep_jnp(p, t, cfg))(ps, tab),
+            jax.jit(lambda p, t, c: table_sweep_pallas(p, t, cfg, c))(
+                ps, tab.rows, tab.row_cnt
+            ),
+            jax.jit(lambda p, t: forces.table_sweep_jnp(p, t, cfg))(ps, tab.rows),
         ),
         "selfcheck_near": rel(
             jax.jit(lambda p, m, f, c, n: near_span_pallas(p, p, m, f, c, n, cfg))(
@@ -107,8 +109,9 @@ def selfcheck(on_tpu: bool):
 
 def main():
     n = int(os.environ.get("NBODY_BENCH_N", 1_000_000))
-    frames = int(os.environ.get("NBODY_BENCH_FRAMES", 20))
+    frames = int(os.environ.get("NBODY_BENCH_FRAMES", 24))
     k = int(os.environ.get("NBODY_BENCH_K", 8))
+    tile = int(os.environ.get("NBODY_BENCH_TILE", 256))
 
     import jax
 
@@ -120,7 +123,12 @@ def main():
         n = 50_000  # keep CPU smoke runs sane
         frames = min(frames, 3)
 
-    cfg = SimConfig(n=n, theta=0.5, use_pallas=on_tpu, rebuild_every=k)
+    # sustained-scan frame count must be a multiple of K, else run_scan
+    # appends a short remainder cycle and the measured rate amortizes the
+    # rebuild over fewer than K steps
+    frames = max(k, -(-frames // k) * k)
+    cfg = SimConfig(n=n, theta=0.5, use_pallas=on_tpu, rebuild_every=k,
+                    force_tile=tile)
     sim = Simulation(cfg, method="barnes_hut")
     print(f"[bench] n={n} theta={cfg.theta} K={k} platform={jax.devices()[0]}",
           file=sys.stderr)
@@ -189,9 +197,9 @@ def main():
         cells, supers, bands, _ = jax.jit(
             lambda p, m, c: _forces.build_bands(p, m, c, cfg)
         )(ps, ms, cs)
-        s_pad = -(-supers.com.shape[0] // 1024) * 1024
+        s_used = int(supers.n_supers)
         step_s = 1.0 / steps_per_sec
-        fl, fl_useful = band_flops(cfg, bands, ps.shape[0], s_pad)
+        fl, fl_useful = band_flops(cfg, bands, ps.shape[0], s_used)
         extra["gflops"] = round(fl / step_s / 1e9, 1)
         extra["gflops_useful"] = round(fl_useful / step_s / 1e9, 1)
         extra["mfu"] = round(fl / step_s / VPU_PEAK_FP32, 4)

@@ -89,13 +89,15 @@ class SimConfig:
             raise ValueError("force_tile must be a multiple of 64 "
                              "(8 sub-blocks, 128-lane DMA alignment /2)")
         if self.use_pallas and self.force_tile % 128:
-            # The near kernel windows each source span into an aligned
-            # (force_tile + 128)-wide DMA; with a 64-only multiple a span's
-            # in-window offset could reach 64+count > window and silently
-            # drop trailing P2P forces.  128-alignment bounds off < 128 and
-            # off + count <= 127 + force_tile < window.
+            # Pallas panels tile targets at (8,128); a non-multiple tile
+            # would leave ragged target blocks.
             raise ValueError("force_tile must be a multiple of 128 when "
-                             "use_pallas=True (near-kernel span windows)")
+                             "use_pallas=True")
+        if self.force_tile > 1024:
+            # Near-band child runs are force_tile/8 particles; the span
+            # splitter assumes a child fits in at most two SPAN_ALIGN=128
+            # windows, i.e. force_tile/8 <= 128.
+            raise ValueError("force_tile must be <= 1024")
 
     @property
     def n_groups(self) -> int:

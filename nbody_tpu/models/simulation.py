@@ -138,18 +138,18 @@ def make_cycle_runner(cfg: SimConfig, n_cycles: int, k: int):
         pos, vel, mass, acc, orig = (
             pos[perm], vel[perm], mass[perm], acc[perm], orig[perm]
         )
-        # conservative per-particle drift bound over the cycle
-        vmax = jnp.sqrt(jnp.max(jnp.sum(vel * vel, axis=1)))
-        amax = jnp.sqrt(jnp.max(jnp.sum(acc * acc, axis=1)))
+        # conservative PER-PARTICLE drift bound over the cycle (a single
+        # extreme particle no longer widens every band: cells, children,
+        # supers, and target sub-spheres each carry their own local max)
+        v = jnp.sqrt(jnp.sum(vel * vel, axis=1))
+        a = jnp.sqrt(jnp.sum(acc * acc, axis=1))
         drift = (
-            vmax * cfg.dt * k + 0.5 * amax * cfg.dt * cfg.dt * k * (k + 1)
+            v * cfg.dt * k + 0.5 * a * cfg.dt * cfg.dt * k * (k + 1)
         ) * cfg.skin_safety
         if cfg.clamp_speed:
             drift = jnp.minimum(drift, cfg.max_speed * cfg.dt * k)
-        # sources move <= drift AND targets move <= drift: inflate by both
-        skin = 2.0 * drift
         _, supers, bands, tables = forces.build_bands(
-            pos, mass, codes_s, cfg, skin=skin
+            pos, mass, codes_s, cfg, drift=drift
         )
 
         def inner(c2, _):

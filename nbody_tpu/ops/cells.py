@@ -62,6 +62,10 @@ class SourceCells(NamedTuple):
     gchild_com: jax.Array   # [Gc, 8, 8, 3] grandchild monopoles
     gchild_gmass: jax.Array # [Gc, 8, 8]
     gchild_diam_max: jax.Array  # [Gc, 8] max grandchild width per child
+    skin: jax.Array         # [Gc] max per-particle drift bound in cell
+                            # (0 when no drift array was given)
+    child_skin: jax.Array   # [Gc, 8] same per child (bounds its
+                            # grandchildren too — they are subsets)
     n_cells: jax.Array      # [] int32 actual cell count
     overflow: jax.Array     # [] bool — cut larger than Gc
 
@@ -80,6 +84,19 @@ def _seg_scan_minmax(x: jax.Array, boundary: jax.Array):
 
     _, mn, mx = lax.associative_scan(combine, (boundary, x, x))
     return mn, mx
+
+
+def _seg_scan_max(x: jax.Array, boundary: jax.Array) -> jax.Array:
+    """Segmented running max of x [N]; the LAST element of each segment
+    holds the segment's max."""
+
+    def combine(a, b):
+        fa, xa = a
+        fb, xb = b
+        return fa | fb, jnp.where(fb, xb, jnp.maximum(xa, xb))
+
+    _, mx = lax.associative_scan(combine, (boundary, x))
+    return mx
 
 
 def _cumsum_prefix(x: jax.Array) -> jax.Array:
@@ -121,8 +138,15 @@ def build_source_cells(
     g_cap: int,
     box_lo: jax.Array | None = None,
     box_size: jax.Array | None = None,
+    drift_sorted: jax.Array | None = None,
 ) -> SourceCells:
     """Compute the adaptive cut and per-cell + per-child monopoles.
+
+    `drift_sorted` [N] (optional): per-particle drift bound over a band-
+    reuse cycle; cells/children carry the segment max as `skin` /
+    `child_skin` so the MAC can be inflated per SOURCE instead of by a
+    global worst case (one extreme particle would otherwise widen every
+    band).
 
     When (box_lo, box_size) — the cubified AABB the codes were quantized
     against — are given, cell geometry (corner, width) is ANALYTIC from
@@ -259,6 +283,22 @@ def build_source_cells(
     g_com, g_gm, _ = seg_moments(g_first, g_count)
     c_com, c_gm, _ = seg_moments(c_first, c_count)
     c2_com, c2_gm, _ = seg_moments(c2_first, c2_count)
+
+    # per-segment drift-bound maxima (source-local MAC skins)
+    if drift_sorted is not None:
+        mxd_g = _seg_scan_max(drift_sorted, grp_b)
+        mxd_c = _seg_scan_max(drift_sorted, chd_b)
+
+        def seg_skin(first, count, mx):
+            valid = count > 0
+            lastp = jnp.clip(first + count - 1, 0, n - 1)
+            return jnp.where(valid, mx[lastp], 0.0)
+
+        g_skin = seg_skin(g_first, g_count, mxd_g)
+        c_skin = seg_skin(c_first, c_count, mxd_c)
+    else:
+        g_skin = jnp.zeros((g_cap,), jnp.float32)
+        c_skin = jnp.zeros((c_cap,), jnp.float32)
     if analytic:
         gf_safe0 = jnp.clip(g_first, 0, n - 1)
         g_depth = cut_depth[gf_safe0]
@@ -297,6 +337,7 @@ def build_source_cells(
     child_com = jnp.where(kid_ok[..., None], c_com[slot_c], 0.0)
     child_gm = jnp.where(kid_ok, c_gm[slot_c], 0.0)
     child_diam = jnp.where(kid_ok, c_diam[slot_c], 0.0)
+    child_skin = jnp.where(kid_ok, c_skin[slot_c], 0.0)
     child_first = jnp.where(kid_ok, c_first[slot_c], 0)
     child_count = jnp.where(kid_ok, c_count[slot_c], 0)
 
@@ -328,6 +369,8 @@ def build_source_cells(
         gchild_com=gchild_com,
         gchild_gmass=gchild_gm,
         gchild_diam_max=gchild_dm,
+        skin=jnp.where(valid_g, g_skin, 0.0),
+        child_skin=child_skin,
         n_cells=n_cells,
         overflow=overflow,
     )

@@ -38,6 +38,12 @@ from nbody_tpu.ops.tree import LinearTree
 
 _I32 = jnp.int32
 
+# Near-band spans are split at SPAN_ALIGN particle boundaries so every
+# span lies inside ONE aligned SPAN_ALIGN-wide window of the sorted
+# arrays: the P2P kernel then DMAs exactly that window (HBM DMA minor
+# dims must be 128-aligned), with zero alignment slack.  Must be 128.
+SPAN_ALIGN = 128
+
 
 def soft_term(cfg: SimConfig) -> float:
     """The additive term inside the sqrt: v5 adds SOFTENING raw to the
@@ -175,6 +181,7 @@ class GroupInfo(NamedTuple):
 
     center: jax.Array   # [T, 3] bounding-sphere center
     radius: jax.Array   # [T]    bounding-sphere radius
+    skin: jax.Array     # [T]    max per-particle drift bound (0 = live)
 
 
 # Sub-spheres per target block: the MAC is evaluated against each target's
@@ -210,16 +217,24 @@ def pad_sorted(pos_s, mass_s, codes_s, b):
     return pos_p, mass_p, codes_p
 
 
-def target_subspheres(pos_s: jax.Array, b: int) -> GroupInfo:
+def target_subspheres(
+    pos_s: jax.Array, b: int, drift: jax.Array | None = None
+) -> GroupInfo:
     """Bounding spheres of each target block's SUB_FACTOR sub-blocks,
-    shaped [T * SUB_FACTOR]."""
+    shaped [T * SUB_FACTOR].  `drift` [N] attaches each sub-block's max
+    per-particle drift bound (band-reuse skin)."""
     sb = b // SUB_FACTOR
     p3 = pos_s.reshape(-1, sb, 3)
     lo = jnp.min(p3, axis=1)
     hi = jnp.max(p3, axis=1)
+    if drift is None:
+        skin = jnp.zeros((p3.shape[0],), jnp.float32)
+    else:
+        skin = jnp.max(drift.reshape(-1, sb), axis=1)
     return GroupInfo(
         center=0.5 * (lo + hi),
         radius=0.5 * jnp.linalg.norm(hi - lo, axis=1),
+        skin=skin,
     )
 
 
@@ -233,6 +248,7 @@ class Supers(NamedTuple):
     com: jax.Array      # [S, 3]
     gmass: jax.Array    # [S]
     diam: jax.Array     # [S] max bbox extent over member cells
+    skin: jax.Array     # [S] max member-cell drift bound
     n_supers: jax.Array # [] int32 (ceil(n_cells / 8))
 
 
@@ -252,6 +268,7 @@ def make_supers(cells) -> Supers:
         com=jnp.where(valid[:, None], com, 0.0),
         gmass=msum,
         diam=diam,
+        skin=jnp.max(cells.skin.reshape(s, 8), axis=1),
         n_supers=(cells.n_cells + 7) // 8,
     )
 
@@ -264,9 +281,10 @@ class CellBands(NamedTuple):
     cmid: children failing whose grandchildren all pass (refine to the 8
           grandchild monopoles);
     near: children whose grandchildren still fail — exact P2P, kept both
-          as child ids (for the anti-monopole table rows) and as MERGED
-          contiguous particle spans (the P2P kernel's unit of work;
-          strictly adjacent spans are coalesced up to force_tile wide).
+          as child ids (for the anti-monopole table rows) and as
+          contiguous particle spans (the P2P kernel's unit of work; each
+          span lies inside one aligned SPAN_ALIGN window: child spans are
+          split at window boundaries and coalesced within windows).
     """
 
     sup_idx: jax.Array    # [T, sup_cap] int32 super ids (pad: n_sup)
@@ -277,9 +295,11 @@ class CellBands(NamedTuple):
     cmid_cnt: jax.Array
     near_idx: jax.Array   # [T, near_cap] int32 child ids (pad: 8*g_cap)
     near_cnt: jax.Array
-    span_first: jax.Array # [T, near_cap] int32 particle starts (pad: 0)
-    span_count: jax.Array # [T, near_cap] int32 span lengths (pad: 0)
-    span_cnt: jax.Array   # [T] int32 merged span count
+    span_first: jax.Array # [T, 2*near_cap] int32 particle starts (pad: 0);
+                          # every span lies inside ONE aligned SPAN_ALIGN
+                          # window (boundary split + window-local merge)
+    span_count: jax.Array # [T, 2*near_cap] int32 lengths (<= SPAN_ALIGN)
+    span_cnt: jax.Array   # [T] int32 span count
     sup_overflow: jax.Array
     mid_overflow: jax.Array
     cmid_overflow: jax.Array
@@ -300,7 +320,7 @@ def _row_compact_one(key, big, cap):
     return idx, cnt
 
 
-def _merge_spans(f, c, limit, passes=3):
+def _merge_spans(f, c, limit, passes=3, align=None):
     """Coalesce strictly adjacent spans into wider ones bounded by `limit`.
 
     f, c: [R, K] int32 span (first, count) rows, valid spans first and
@@ -308,8 +328,10 @@ def _merge_spans(f, c, limit, passes=3):
     merged list stays consistent with the anti-row list it was derived
     from (a dropped pair would lose exact P2P while keeping the anti-row).
     Each pass merges pairs then re-packs rows; `passes` passes coalesce
-    runs of up to 2^passes sibling spans — enough, since `limit`
-    (= force_tile) caps real merges well before that.
+    runs of up to 2^passes sibling spans — enough, since `limit` caps
+    real merges well before that.  With `align` set, a merge never
+    crosses an `align` boundary of the source index space (so spans that
+    start inside one aligned window stay inside it).
     """
     big = jnp.iinfo(jnp.int32).max // 2 * 2
     r, k0 = f.shape
@@ -318,16 +340,22 @@ def _merge_spans(f, c, limit, passes=3):
         f = jnp.pad(f, ((0, 0), (0, 1)))
         c = jnp.pad(c, ((0, 0), (0, 1)))
         k += 1
+    # sort FIRST each pass (packs valid ascending, so callers may pass
+    # unpacked input), then merge even/odd pairs
     for _ in range(passes):
+        key = jnp.where(c > 0, f, big)
+        _, f, c = lax.sort((key, f, c), dimension=1, num_keys=1)
         fe, ce = f[:, 0::2], c[:, 0::2]
         fo, co = f[:, 1::2], c[:, 1::2]
         can = (ce > 0) & (co > 0) & (fo == fe + ce) & (ce + co <= limit)
+        if align is not None:
+            can = can & (lax.rem(fe, align) + ce + co <= align)
         ce = jnp.where(can, ce + co, ce)
         co = jnp.where(can, 0, co)
         f = jnp.stack([fe, fo], axis=2).reshape(r, k)
         c = jnp.stack([ce, co], axis=2).reshape(r, k)
-        key = jnp.where(c > 0, f, big)
-        _, f, c = lax.sort((key, f, c), dimension=1, num_keys=1)
+    key = jnp.where(c > 0, f, big)
+    _, f, c = lax.sort((key, f, c), dimension=1, num_keys=1)
     f = jnp.where(c > 0, f, 0)
     # valid entries are packed first and merging never increases their
     # count, so trimming the alignment pad cannot drop a span
@@ -372,11 +400,16 @@ def cell_band_lists(
     refined to its grandchild monopoles if those pass (cmid) or marked for
     exact P2P (near); near child spans are then coalesced (_merge_spans).
 
-    `skin` is a conservative margin for band REUSE across steps: every
-    MAC becomes (diam + skin) / dist(max(gap - skin, 0)) < theta, so the
-    classification stays valid while any particle moves by <= skin/2
-    (source extent grows by <= skin AND source-COM/target gaps shrink by
-    <= skin in total).  May be a traced scalar.
+    `skin` is a conservative UNIFORM margin for band REUSE across steps;
+    per-entity skins (cells.skin / child_skin / supers.skin / the target
+    sub-spheres' skin, from a per-particle drift array) compose with it.
+    Every MAC becomes
+        (diam + 2*(src_skin + skin/2))
+          / dist(max(gap - (src_skin + skin/2) - (tgt_skin + skin/2), 0))
+        < theta
+    so the classification stays valid while every particle moves by at
+    most its own drift bound (+ skin/2 uniformly).  `skin` may be a
+    traced scalar.
     """
     s_cap = cfg.sup_cap
     mid_cap, cmid_cap, near_cap = cfg.mid_cap, cfg.cmid_cap, cfg.near_cap
@@ -387,13 +420,19 @@ def cell_band_lists(
     k_cap = 8 * g_cap
     t = tgt_subs.center.shape[0] // SUB_FACTOR
     big = jnp.iinfo(jnp.int32).max // 2 * 2  # even sentinel
+    half = 0.5 * jnp.asarray(skin, jnp.float32)
 
-    # packed per-cell fields for stage 2: [g_cap+1, 4] (zero pad row)
-    cellf = jnp.concatenate([cells.com, cells.diam[:, None]], axis=1)
-    cellf = jnp.concatenate([cellf, jnp.zeros((1, 4), jnp.float32)])
+    # packed per-cell fields for stage 2, grouped by SUPER so one row
+    # gather fetches all 8 member cells: [n_sup+1, 8, 5] (zero pad row)
+    cellf = jnp.concatenate(
+        [cells.com, cells.diam[:, None], cells.skin[:, None]], axis=1
+    )
+    cellf8 = jnp.concatenate(
+        [cellf.reshape(n_sup, 8, 5), jnp.zeros((1, 8, 5), jnp.float32)]
+    )
 
-    # packed per-child fields for stage 3: [g_cap+1, 8, 12] (zero pad row):
-    # com(3), diam, gchild_diam_max, gc-COM box lo(3), hi(3), gmass.
+    # packed per-child fields for stage 3: [g_cap+1, 8, 13] (zero pad row):
+    # com(3), diam, gchild_diam_max, gc-COM box lo(3), hi(3), gmass, skin.
     # The grandchild-acceptance bound needs "closest possible grandchild
     # COM"; their bounding box is a tight-and-correct bound.
     gc_ok = cells.gchild_gmass > 0
@@ -403,9 +442,9 @@ def cell_band_lists(
     kidf = jnp.concatenate(
         [cells.child_com, cells.child_diam[..., None],
          cells.gchild_diam_max[..., None], gc_lo, gc_hi,
-         cells.child_gmass[..., None]], axis=-1
-    )                                                       # [Gc, 8, 12]
-    kidf = jnp.concatenate([kidf, jnp.zeros((1, 8, 12), jnp.float32)])
+         cells.child_gmass[..., None], cells.child_skin[..., None]], axis=-1
+    )                                                       # [Gc, 8, 13]
+    kidf = jnp.concatenate([kidf, jnp.zeros((1, 8, 13), jnp.float32)])
 
     # flat per-child spans for the near band: [8*g_cap + 1] (zero pad)
     cf_flat = jnp.concatenate(
@@ -417,10 +456,12 @@ def cell_band_lists(
 
     centers = tgt_subs.center.reshape(t, SUB_FACTOR, 3)
     radii = tgt_subs.radius.reshape(t, SUB_FACTOR)
+    tskins = tgt_subs.skin.reshape(t, SUB_FACTOR)
     chunk = max(8, min(256, (1 << 20) // max(n_sup, 1)))
     t_pad = -(-t // chunk) * chunk
     centers = jnp.pad(centers, ((0, t_pad - t), (0, 0), (0, 0)))
     radii = jnp.pad(radii, ((0, t_pad - t), (0, 0)))
+    tskins = jnp.pad(tskins, ((0, t_pad - t), (0, 0)))
     # mask: which rows of each chunk are REAL targets (padding rows sit at
     # the origin and would otherwise trip the overflow flags)
     row_real = (jnp.arange(t_pad, dtype=_I32) < t).reshape(-1, chunk)
@@ -429,39 +470,44 @@ def cell_band_lists(
     arange8 = jnp.arange(8, dtype=_I32)
 
     def one_chunk(args):
-        ctr, rad, real = args                # [C,S,3],[C,S],[C]
+        ctr, rad, tsk, real = args           # [C,S,3],[C,S],[C,S],[C]
         c_rows = ctr.shape[0]
+        # effective sub-sphere deflation: target drift + uniform half-skin
+        rad_t = rad + tsk + half             # [C, S]
 
-        def sub_gap(com):
-            # com [C, K, 3] per-row sources -> skin-deflated min gap over
-            # the target's sub-spheres [C, K]
+        def sub_gap(com, src_skin):
+            # com [C, K, 3] per-row sources, src_skin [C, K] per-row
+            # source drift -> skin-deflated min gap over sub-spheres [C, K]
             d = com[:, :, None, :] - ctr[:, None, :, :]
-            gap = jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad[:, None, :]
+            gap = jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad_t[:, None, :]
             gap = jnp.maximum(jnp.min(gap, axis=-1), 0.0)
-            return jnp.maximum(gap - skin, 0.0)
+            return jnp.maximum(gap - (src_skin + half), 0.0)
 
         # stage 1: supers
         d = supers.com[None, :, None, :] - ctr[:, None, :, :]
-        gap = jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad[:, None, :]
-        gap = jnp.maximum(jnp.maximum(jnp.min(gap, axis=-1), 0.0) - skin, 0.0)
+        gap = jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad_t[:, None, :]
+        ssk = supers.skin[None, :] + half
+        gap = jnp.maximum(jnp.maximum(jnp.min(gap, axis=-1), 0.0) - ssk, 0.0)
         dist = jnp.sqrt(gap * gap + soft)
-        fail1 = (supers.diam[None, :] + skin) / dist >= theta
+        fail1 = (supers.diam[None, :] + 2.0 * ssk) / dist >= theta
         sup_cnt = jnp.sum(fail1.astype(_I32), axis=1)
         sup_idx, _ = _row_compact_one(
             jnp.where(fail1, sup_ids, big), big, s_cap
         )
 
         # stage 2: the failing supers' cells (clamp BEFORE expanding — the
-        # `big` padding sentinel would overflow int32 when multiplied)
+        # `big` padding sentinel would overflow int32 when multiplied);
+        # ONE row gather per super fetches all 8 member cells
         sup_c = jnp.minimum(sup_idx, n_sup)                # pad -> n_sup
         cand = sup_c[:, :, None] * 8 + arange8[None, None, :]
         cand = jnp.minimum(cand, g_cap).reshape(c_rows, -1)  # pad -> g_cap
-        f = cellf[cand]                                    # [C, K2, 4]
+        f = cellf8[sup_c].reshape(c_rows, -1, 5)           # [C, K2, 5]
         # cell-as-monopole test: distance to the cell's own COM (the
         # reference's criterion, nbody_v5.cu:232), conservative over the
         # target's members via its sub-spheres
-        distc = jnp.sqrt(sub_gap(f[..., 0:3]) ** 2 + soft)
-        failc = ((f[..., 3] + skin) / distc >= theta) & (cand < g_cap)
+        csk = f[..., 4] + half
+        distc = jnp.sqrt(sub_gap(f[..., 0:3], f[..., 4]) ** 2 + soft)
+        failc = ((f[..., 3] + 2.0 * csk) / distc >= theta) & (cand < g_cap)
         mc_raw = jnp.sum(failc.astype(_I32), axis=1)
         mid_idx, _ = _row_compact_one(
             jnp.where(failc, cand, big), big, mid_cap
@@ -471,32 +517,43 @@ def cell_band_lists(
         # monopole; failing children refine to grandchildren (cmid) if the
         # gc-COM-box bound passes, else exact P2P (near)
         midc = jnp.minimum(mid_idx, g_cap)                 # pad -> g_cap
-        kf = kidf[midc].reshape(c_rows, mid_cap * 8, 12)   # [C, K3, 12]
+        kf = kidf[midc].reshape(c_rows, mid_cap * 8, 13)   # [C, K3, 13]
         kid_id = (midc[:, :, None] * 8 + arange8[None, None, :]).reshape(
             c_rows, -1
         )                                                  # pad -> >= k_cap
-        distk = jnp.sqrt(sub_gap(kf[..., 0:3]) ** 2 + soft)
+        ksk = kf[..., 12] + half
+        distk = jnp.sqrt(sub_gap(kf[..., 0:3], kf[..., 12]) ** 2 + soft)
         live = (kf[..., 11] > 0) & (kid_id < k_cap)
-        failk = ((kf[..., 3] + skin) / distk >= theta) & live
+        failk = ((kf[..., 3] + 2.0 * ksk) / distk >= theta) & live
         blo = kf[..., 5:8]
         bhi = kf[..., 8:11]
         cl = jnp.clip(ctr[:, None, :, :], blo[:, :, None, :], bhi[:, :, None, :])
-        gap_box = jnp.linalg.norm(cl - ctr[:, None, :, :], axis=-1) - rad[:, None, :]
+        gap_box = jnp.linalg.norm(cl - ctr[:, None, :, :], axis=-1) - rad_t[:, None, :]
         gap_box = jnp.maximum(
-            jnp.maximum(jnp.min(gap_box, axis=-1), 0.0) - skin, 0.0
+            jnp.maximum(jnp.min(gap_box, axis=-1), 0.0) - ksk, 0.0
         )
         dist_box = jnp.sqrt(gap_box * gap_box + soft)
-        cmid_m = failk & ((kf[..., 4] + skin) / dist_box < theta)
+        cmid_m = failk & ((kf[..., 4] + 2.0 * ksk) / dist_box < theta)
         near_m = failk & ~cmid_m
         key_c = jnp.where(cmid_m, kid_id, big)
         key_n = jnp.where(near_m, kid_id + big // 2, big)
         ci, cc, ni, nc = _row_compact_two(key_c, key_n, big, cmid_cap, near_cap)
 
-        # near spans: child (first, count), merged where strictly adjacent
+        # near spans: child (first, count) SPLIT at SPAN_ALIGN boundaries
+        # (so every span lies inside one aligned window — the P2P kernel
+        # DMAs exactly that window with zero alignment slack), then
+        # coalesced within each window.  2*near_cap slots hold the worst
+        # case of two pieces per child, so no piece is ever dropped (a
+        # dropped piece would lose exact P2P while keeping the anti-row).
         ni_safe = jnp.minimum(ni, k_cap)
         sf = cf_flat[ni_safe]
         scnt = cc_flat[ni_safe]
-        sf, scnt = _merge_spans(sf, scnt, cfg.force_tile)
+        room = SPAN_ALIGN - lax.rem(sf, SPAN_ALIGN)
+        c1 = jnp.minimum(scnt, room)
+        f_all = jnp.concatenate([sf, sf + c1], axis=1)
+        c_all = jnp.concatenate([c1, scnt - c1], axis=1)
+        # _merge_spans sorts first, so the unpacked two-piece layout is fine
+        sf, scnt = _merge_spans(f_all, c_all, SPAN_ALIGN, align=SPAN_ALIGN)
         span_cnt = jnp.sum((scnt > 0).astype(_I32), axis=1)
 
         return (
@@ -515,6 +572,7 @@ def cell_band_lists(
         one_chunk,
         (centers.reshape(-1, chunk, SUB_FACTOR, 3),
          radii.reshape(-1, chunk, SUB_FACTOR),
+         tskins.reshape(-1, chunk, SUB_FACTOR),
          row_real),
     )
     si, sc, mi, mc, ci, cc, ni, nc, sf, scnt, spc, so, mo, co, no = res
@@ -527,8 +585,8 @@ def cell_band_lists(
         cmid_cnt=cc.reshape(t_pad)[:t],
         near_idx=ni.reshape(t_pad, near_cap)[:t],
         near_cnt=nc.reshape(t_pad)[:t],
-        span_first=sf.reshape(t_pad, near_cap)[:t],
-        span_count=scnt.reshape(t_pad, near_cap)[:t],
+        span_first=sf.reshape(t_pad, 2 * near_cap)[:t],
+        span_count=scnt.reshape(t_pad, 2 * near_cap)[:t],
         span_cnt=spc.reshape(t_pad)[:t],
         sup_overflow=jnp.any(so),
         mid_overflow=jnp.any(mo),
@@ -537,26 +595,44 @@ def cell_band_lists(
     )
 
 
-def build_cell_tables(cells, supers: Supers, bands: CellBands) -> jax.Array:
-    """Per-target source tables
-    [T, (sup_cap + mid_cap + cmid_cap)*9 + near_cap, 4].
+class TableSet(NamedTuple):
+    """Per-target band tables with live-row counts.
+
+    rows: [T, near_cap + (sup_cap+mid_cap+cmid_cap)*9, 4]; layout is
+    [near anti rows (static near_cap region, valid-prefix) | COMPACTED
+    9-row monopole items].  Rows past row_cnt are all zero, so a sweep
+    may stop after ceil(row_cnt / chunk) chunks — the Pallas table
+    kernel does exactly that (the jnp twin sweeps everything; zero rows
+    contribute nothing)."""
+
+    rows: jax.Array      # [T, R, 4] (x, y, z, G*mass)
+    row_cnt: jax.Array   # [T] int32 live rows
+
+
+def build_cell_tables(cells, supers: Supers, bands: CellBands) -> TableSet:
+    """Per-target source tables (see TableSet).
 
     Row layout [x, y, z, G*mass]:
-      * each failing SUPER contributes its 8 member-cell monopoles plus
-        the super monopole with negated mass (the far sweep added it);
-      * each failing CELL (mid) contributes its 8 child monopoles plus
-        itself negated (band A added the cell monopole);
-      * each CMID child contributes its 8 grandchild monopoles plus itself
-        negated (band B added the child monopole);
-      * each NEAR child contributes only its negated self — its exact P2P
-        comes from the span kernel.
-    Padding ids resolve to an all-zero row, so every band telescopes to
-    net-zero mass beyond its refinement.
+      * each NEAR child contributes its negated self — its exact P2P
+        comes from the span kernel (first table region);
+      * each failing SUPER contributes a 9-row item: its 8 member-cell
+        monopoles plus the super monopole with negated mass (the far
+        sweep added it);
+      * each failing CELL (mid): its 8 child monopoles plus itself
+        negated (band A added the cell monopole);
+      * each CMID child: its 8 grandchild monopoles plus itself negated
+        (band B added the child monopole).
+    The three item classes are PACKED to the front of the item region
+    (one row sort per target), so live rows are a prefix and the sweep
+    kernel skips all-padding chunks.  Padding ids resolve to all-zero
+    rows, so every band telescopes to net-zero mass beyond its
+    refinement.
     """
     g_cap = cells.gmass.shape[0]
     k_cap = 8 * g_cap
     n_sup = supers.com.shape[0]
     t = bands.sup_idx.shape[0]
+    big = jnp.iinfo(jnp.int32).max
 
     cell4 = jnp.concatenate([cells.com, cells.gmass[:, None]], axis=1)
     extA = jnp.concatenate(
@@ -565,7 +641,6 @@ def build_cell_tables(cells, supers: Supers, bands: CellBands) -> jax.Array:
         axis=1,
     ).reshape(n_sup, 36)
     extA = jnp.concatenate([extA, jnp.zeros((1, 36), jnp.float32)])
-    tabA = extA[jnp.minimum(bands.sup_idx, n_sup)].reshape(t, -1, 4)
 
     child4 = jnp.concatenate(
         [cells.child_com, cells.child_gmass[..., None]], axis=-1
@@ -575,7 +650,6 @@ def build_cell_tables(cells, supers: Supers, bands: CellBands) -> jax.Array:
         axis=1,
     ).reshape(g_cap, 36)
     extB = jnp.concatenate([extB, jnp.zeros((1, 36), jnp.float32)])
-    tabB = extB[jnp.minimum(bands.mid_idx, g_cap)].reshape(t, -1, 4)
 
     gc4 = jnp.concatenate(
         [cells.gchild_com, cells.gchild_gmass[..., None]], axis=-1
@@ -585,12 +659,33 @@ def build_cell_tables(cells, supers: Supers, bands: CellBands) -> jax.Array:
     ).reshape(k_cap, 4)
     extC = jnp.concatenate([gc4, anti_child[:, None, :]], axis=1).reshape(k_cap, 36)
     extC = jnp.concatenate([extC, jnp.zeros((1, 36), jnp.float32)])
-    tabC = extC[jnp.minimum(bands.cmid_idx, k_cap)].reshape(t, -1, 4)
+
+    # unified item table: [extA | extB | extC] with each class's zero pad
+    # row preserved; per-class ids offset into it
+    ext_all = jnp.concatenate([extA, extB, extC], axis=0)
+    off_b = n_sup + 1
+    off_c = off_b + g_cap + 1
+    ia = jnp.minimum(bands.sup_idx, n_sup)            # pad -> extA zero row
+    ib = jnp.minimum(bands.mid_idx, g_cap) + off_b    # pad -> extB zero row
+    ic = jnp.minimum(bands.cmid_idx, k_cap) + off_c   # pad -> extC zero row
+    items = jnp.concatenate([ia, ib, ic], axis=1)     # [T, K]
+    va = jnp.arange(ia.shape[1], dtype=_I32)[None, :] < bands.sup_cnt[:, None]
+    vb = jnp.arange(ib.shape[1], dtype=_I32)[None, :] < bands.mid_cnt[:, None]
+    vc = jnp.arange(ic.shape[1], dtype=_I32)[None, :] < bands.cmid_cnt[:, None]
+    valid = jnp.concatenate([va, vb, vc], axis=1)
+    # pack live items first (stable: key = lane where valid, big where not;
+    # invalid items already point at zero rows)
+    key = jnp.where(valid, jnp.arange(items.shape[1], dtype=_I32)[None, :], big)
+    _, items = lax.sort((key, items), dimension=1, num_keys=1)
+    tab_items = ext_all[items].reshape(t, -1, 4)
 
     antiN = jnp.concatenate([anti_child, jnp.zeros((1, 4), jnp.float32)])
     tabN = antiN[jnp.minimum(bands.near_idx, k_cap)]
+    near_cap = tabN.shape[1]
 
-    return jnp.concatenate([tabA, tabB, tabC, tabN], axis=1)
+    rows = jnp.concatenate([tabN, tab_items], axis=1)
+    row_cnt = near_cap + 9 * (bands.sup_cnt + bands.mid_cnt + bands.cmid_cnt)
+    return TableSet(rows=rows, row_cnt=row_cnt.astype(_I32))
 
 
 def table_sweep_jnp(tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig) -> jax.Array:
@@ -655,7 +750,7 @@ def near_correction_jnp(
 
 def build_bands(
     pos_s: jax.Array, mass_s: jax.Array, codes_s: jax.Array, cfg: SimConfig,
-    skin=0.0,
+    skin=0.0, drift: jax.Array | None = None,
 ):
     """The shared band-construction prologue of the production force path:
     adaptive cells -> supers -> target sub-spheres -> band lists -> tables.
@@ -663,9 +758,11 @@ def build_bands(
     diagnostics, and the phase profiler.  Inputs must be Morton-sorted and
     padded to a force_tile multiple (pad_sorted).
 
-    `skin` (see cell_band_lists) widens every MAC so the returned
-    structures stay conservative while particles drift up to skin/2 —
-    the basis of multi-step band reuse."""
+    `skin` (uniform scalar) and `drift` (per-particle drift bounds [N],
+    aggregated to per-cell/-child/-super/-target-sub-sphere maxima) widen
+    every MAC so the returned structures stay conservative while each
+    particle moves up to its own drift bound + skin/2 — the basis of
+    multi-step band reuse (see cell_band_lists)."""
     from nbody_tpu.ops import bbox as _bbox
     from nbody_tpu.ops.cells import build_source_cells
 
@@ -674,10 +771,11 @@ def build_bands(
     # the last particle, so min/max are unchanged)
     box_lo, box_size = _bbox.bounding_cube(pos_s)
     cells = build_source_cells(
-        codes_s, pos_s, mass_s, b, cfg.g, cfg.cell_capacity, box_lo, box_size
+        codes_s, pos_s, mass_s, b, cfg.g, cfg.cell_capacity, box_lo, box_size,
+        drift_sorted=drift,
     )
     supers = make_supers(cells)
-    tgt_subs = target_subspheres(pos_s, b)
+    tgt_subs = target_subspheres(pos_s, b, drift=drift)
     bands = cell_band_lists(tgt_subs, supers, cells, cfg, skin=skin)
     tables = build_cell_tables(cells, supers, bands)
     return cells, supers, bands, tables
@@ -707,7 +805,7 @@ def bh_forces_grouped(
 
 def apply_bands(
     pos_s: jax.Array, mass_s: jax.Array, supers: Supers, bands: CellBands,
-    tables: jax.Array, cfg: SimConfig,
+    tables: TableSet, cfg: SimConfig,
     src_pos: jax.Array | None = None, src_mass: jax.Array | None = None,
 ) -> jax.Array:
     """Evaluate the three force bands against (possibly frozen) band
@@ -721,14 +819,14 @@ def apply_bands(
         )
 
         far = far_sweep_pallas(pos_s, supers, cfg)
-        mid = table_sweep_pallas(pos_s, tables, cfg)
+        mid = table_sweep_pallas(pos_s, tables.rows, cfg, tables.row_cnt)
         near = near_span_pallas(
             pos_s, src_pos, src_mass,
             bands.span_first, bands.span_count, bands.span_cnt, cfg,
         )
     else:
         far = far_sweep_jnp(pos_s, supers, cfg)
-        mid = table_sweep_jnp(pos_s, tables, cfg)
+        mid = table_sweep_jnp(pos_s, tables.rows, cfg)
         near = near_correction_jnp(
             pos_s, src_pos, src_mass, bands.span_first, bands.span_count, cfg
         )

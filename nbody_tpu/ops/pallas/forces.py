@@ -41,11 +41,14 @@ from nbody_tpu.config import SimConfig
 # tiling T(1024), required for flat-array blocks.
 LC = 1024
 
-# Near-kernel segment width: source blocks fetched/evaluated per loop
+# Near-kernel segment width: source windows fetched/evaluated per loop
 # iteration (KSEG DMAs in flight per buffer, double-buffered).  Panels are
-# evaluated in KSPLIT sub-panels to bound VMEM temporaries.
-KSEG = 16
-KSPLIT = 4
+# evaluated in KSPLIT sub-panels to bound VMEM temporaries.  Spans are
+# pre-split by the classifier so each lies in ONE aligned WSPAN-wide
+# window (forces.SPAN_ALIGN) — the DMA fetches exactly that window.
+KSEG = 8
+KSPLIT = 2
+WSPAN = 128
 
 
 def _interpret() -> bool:
@@ -57,9 +60,9 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _far_kernel(pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref, *, soft: float):
-    j = pl.program_id(1)
-    p = pos_ref[0]                      # (B, 3)
+def _panel_part(p, x_ref, y_ref, z_ref, gm_ref, soft):
+    """(B, LC) monopole panel: acceleration of targets p against one
+    planar source chunk."""
     qx = x_ref[:].reshape(1, LC)
     qy = y_ref[:].reshape(1, LC)
     qz = z_ref[:].reshape(1, LC)
@@ -73,19 +76,31 @@ def _far_kernel(pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref, *, soft: float):
     ax = jnp.sum(w * dx, axis=1, keepdims=True)
     ay = jnp.sum(w * dy, axis=1, keepdims=True)
     az = jnp.sum(w * dz, axis=1, keepdims=True)
-    part = jnp.concatenate([ax, ay, az], axis=1)   # (B, 3)
+    return jnp.concatenate([ax, ay, az], axis=1)
+
+
+def _far_kernel(used_ref, pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref,
+                *, soft: float):
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        acc_ref[0] = part
+        acc_ref[0] = jnp.zeros_like(acc_ref[0])
 
-    @pl.when(j > 0)
+    # chunks at/past the live super count are all padding (zero mass):
+    # skip the panel math entirely (the supers array is a static cap;
+    # live count is a traced scalar)
+    @pl.when(j < used_ref[0])
     def _accum():
+        part = _panel_part(pos_ref[0], x_ref, y_ref, z_ref, gm_ref, soft)
         acc_ref[0] = acc_ref[0] + part
 
 
 def far_sweep_pallas(pos_s: jax.Array, groups, cfg: SimConfig) -> jax.Array:
-    """Dense N x G monopole sweep; twin of forces.far_sweep_jnp."""
+    """Dense N x G monopole sweep; twin of forces.far_sweep_jnp.
+
+    Only ceil(n_supers / LC) chunks are computed (scalar-prefetched live
+    count); the static-cap padding chunks cost one skipped DMA each."""
     from nbody_tpu.ops.forces import soft_term
 
     n = pos_s.shape[0]
@@ -102,18 +117,23 @@ def far_sweep_pallas(pos_s: jax.Array, groups, cfg: SimConfig) -> jax.Array:
     gz = planar(groups.com[:, 2])
     gm = planar(groups.gmass)
 
+    used = ((groups.n_supers.astype(jnp.int32) + LC - 1) // LC).reshape(1)
     pos3 = pos_s.reshape(t, b, 3)
     kernel = functools.partial(_far_kernel, soft=float(soft_term(cfg)))
     n_chunks = g_pad // LC
-    row = pl.BlockSpec((LC,), lambda i, j: (j,), memory_space=pltpu.VMEM)
-    acc = pl.pallas_call(
-        kernel,
+    row = pl.BlockSpec((LC,), lambda i, j, *_: (j,), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(t, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, b, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 3), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             row, row, row, row,
         ],
-        out_specs=pl.BlockSpec((1, b, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, b, 3), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, b, 3), jnp.float32),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
@@ -121,7 +141,7 @@ def far_sweep_pallas(pos_s: jax.Array, groups, cfg: SimConfig) -> jax.Array:
             bytes_accessed=(4 * g_pad * t + 2 * 3 * n) * 4,
             transcendentals=n * g_pad,
         ),
-    )(pos3, gx, gy, gz, gm)
+    )(used, pos3, gx, gy, gz, gm)
     return acc.reshape(n, 3)
 
 
@@ -130,15 +150,34 @@ def far_sweep_pallas(pos_s: jax.Array, groups, cfg: SimConfig) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _table_kernel(pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref, *, soft: float):
-    # same panel math as the far sweep; the source rows here are the
-    # PER-TARGET gathered mid-band tables (sub-monopoles + anti-parents)
-    _far_kernel(pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref, soft=soft)
+def _table_kernel(used_ref, pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref,
+                  *, soft: float):
+    # same panel math as the far sweep over PER-TARGET gathered band
+    # tables (sub-monopoles + anti-parents); rows are COMPACTED per
+    # target, so chunks past this target's live row count are skipped
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[0] = jnp.zeros_like(acc_ref[0])
+
+    @pl.when(j < used_ref[i])
+    def _accum():
+        part = _panel_part(pos_ref[0], x_ref, y_ref, z_ref, gm_ref, soft)
+        acc_ref[0] = acc_ref[0] + part
 
 
-def table_sweep_pallas(tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig) -> jax.Array:
+def table_sweep_pallas(
+    tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig,
+    row_cnt: jax.Array | None = None,
+) -> jax.Array:
     """Dense sweep over per-target source tables [T, S, 4]; twin of
-    forces.table_sweep_jnp."""
+    forces.table_sweep_jnp.
+
+    `row_cnt` [T] (live rows per target, valid rows compacted first)
+    lets the kernel skip trailing all-padding chunks per target; without
+    it every chunk is swept."""
     from nbody_tpu.ops.forces import soft_term
 
     n = tgt_pos.shape[0]
@@ -154,17 +193,26 @@ def table_sweep_pallas(tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig) ->
     ty = tables[:, :, 1].reshape(-1)
     tz = tables[:, :, 2].reshape(-1)
     tm = tables[:, :, 3].reshape(-1)
+    if row_cnt is None:
+        used = jnp.full((t,), chunks, jnp.int32)
+    else:
+        used = (row_cnt.astype(jnp.int32) + LC - 1) // LC
 
     kernel = functools.partial(_table_kernel, soft=float(soft_term(cfg)))
-    row = pl.BlockSpec((LC,), lambda i, j, c=chunks: (i * c + j,), memory_space=pltpu.VMEM)
-    acc = pl.pallas_call(
-        kernel,
+    row = pl.BlockSpec((LC,), lambda i, j, *_, c=chunks: (i * c + j,),
+                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(t, chunks),
         in_specs=[
-            pl.BlockSpec((1, b, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 3), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             row, row, row, row,
         ],
-        out_specs=pl.BlockSpec((1, b, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, b, 3), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, b, 3), jnp.float32),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
@@ -172,7 +220,7 @@ def table_sweep_pallas(tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig) ->
             bytes_accessed=(4 * t * s_pad + 2 * 3 * n) * 4,
             transcendentals=n * s_pad,
         ),
-    )(tgt_pos.reshape(t, b, 3), tx, ty, tz, tm)
+    )(used, tgt_pos.reshape(t, b, 3), tx, ty, tz, tm)
     return acc.reshape(n, 3)
 
 
@@ -195,7 +243,7 @@ def _near_kernel(
     sf_smem,             # (1, C) int32 SMEM — this target's span starts
     sc_smem,             # (1, C) int32 SMEM — this target's span lengths
     row_sem,             # DMA semaphores (2,)
-    buf,                 # (2, 4, KSEG*(B+128)) VMEM — pipelined spans
+    buf,                 # (2, 4, KSEG*WSPAN) VMEM — pipelined windows
     sem,                 # DMA semaphores (2, KSEG)
     *,
     b: int,
@@ -204,21 +252,21 @@ def _near_kernel(
     soft: float,
     g_const: float,
 ):
-    """Pure P2P against MERGED SOURCE SPANS: each span is a contiguous
-    run [first, first+count) of the sorted arrays with count <= B (the
-    classifier merges adjacent near children up to that bound).  A fixed
-    (B+128)-wide 128-aligned window containing the span is DMA'd; lanes
-    outside [first, first+count) are masked.  Each loop iteration fetches
-    a SEGMENT of KSEG spans (one wait round) and evaluates KSPLIT
-    sub-panels.  The matching anti-child monopoles are handled by the
-    band-table sweep.
+    """Pure P2P against SOURCE SPANS: each span is a contiguous run
+    [first, first+count) of the sorted arrays lying inside ONE aligned
+    WSPAN-wide window (the classifier splits child runs at window
+    boundaries and merges within windows — forces.SPAN_ALIGN).  The DMA
+    fetches exactly that window; lanes outside [first, first+count) are
+    masked.  Each loop iteration fetches a SEGMENT of KSEG windows (one
+    wait round) and evaluates KSPLIT sub-panels.  The matching anti-child
+    monopoles are handled by the band-table sweep.
     """
     i = pl.program_id(0)
     cnt = cnt_ref[i]
     n_seg = lax.div(cnt + KSEG - 1, KSEG)
     p = pos_ref[0]                       # (B, 3)
     px, py, pz = p[:, 0:1], p[:, 1:2], p[:, 2:3]
-    wspan = b + 128                      # aligned span window
+    wspan = WSPAN                        # aligned span window
 
     # The full span tables exceed SMEM, so each program DMAs just its own
     # rows (dynamic scalar indexing is an SMEM-only operation).  The row
@@ -232,13 +280,11 @@ def _near_kernel(
     c_dma.wait()
 
     def span_start(k):
-        # HBM DMA slices must be 128-lane aligned: window = the aligned
-        # b+128 span containing [first, first+count); the wrapper pads the
-        # source arrays to a 128 multiple >= wspan, so the clamped window
-        # always contains the whole span (off + count <= wspan)
+        # the window holding span k: spans never straddle a WSPAN
+        # boundary (classifier invariant) and the wrapper pads the source
+        # columns to a 128 multiple, so the window is always in bounds
         f = sf_smem[0, jnp.minimum(k, cap - 1)]
-        raw = jnp.maximum(jnp.minimum(f, n_src - wspan), 0)
-        return pl.multiple_of(raw // 128 * 128, 128)
+        return pl.multiple_of(f // wspan * wspan, 128)
 
     def seg_dma(slot, s, j):
         # list entries past cnt are zero spans — masked out in the panel
@@ -324,7 +370,7 @@ def near_span_pallas(
     b = cfg.force_tile
     t = n // b
     cap = span_first.shape[1]
-    wspan = b + 128
+    wspan = WSPAN
 
     srcm = jnp.concatenate([src_pos.T, src_mass[None, :]], axis=0)  # (4, N) planar
     # pad source columns to a 128 multiple of at least wspan so every
@@ -369,9 +415,9 @@ def near_span_pallas(
         out_shape=jax.ShapeDtypeStruct((t, b, 3), jnp.float32),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=18 * n * cap * b // 4,
-            bytes_accessed=n * cap * 16 // 4,
-            transcendentals=n * cap * b // 4,
+            flops=18 * n * cap * wspan // 8,
+            bytes_accessed=n * cap * 16 // 8,
+            transcendentals=n * cap * wspan // 8,
         ),
     )(span_cnt.astype(jnp.int32),
       span_first.astype(jnp.int32), span_count.astype(jnp.int32),

@@ -132,7 +132,9 @@ def phase_times(
 
     @jax.jit
     def ph_mid(pos_p, mid_tab):
-        return mid_fn(pos_p, mid_tab, cfg)
+        if cfg.use_pallas:
+            return mid_fn(pos_p, mid_tab.rows, cfg, mid_tab.row_cnt)
+        return mid_fn(pos_p, mid_tab.rows, cfg)
 
     @jax.jit
     def ph_near(pos_p, mass_p, span_first, span_count, span_cnt):

@@ -213,7 +213,10 @@ def test_cell_band_partition_against_numpy(skin):
         got_pts = []
         for k in range(spn[ti]):
             assert spc[ti, k] > 0
-            assert spc[ti, k] <= cfg.force_tile
+            assert spc[ti, k] <= forces.SPAN_ALIGN
+            # span lies inside ONE aligned window (near-kernel invariant)
+            assert (spf[ti, k] // forces.SPAN_ALIGN
+                    == (spf[ti, k] + spc[ti, k] - 1) // forces.SPAN_ALIGN)
             got_pts.extend(range(spf[ti, k], spf[ti, k] + spc[ti, k]))
         assert len(got_pts) == len(set(got_pts))  # disjoint spans
         assert set(got_pts) == want_pts
@@ -231,30 +234,29 @@ def test_cell_tables_telescoping():
     pos, mass = _cloud(n, seed=5)
     pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
     cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
-    tab = np.asarray(forces.build_cell_tables(cells, supers, bands))
+    tabset = forces.build_cell_tables(cells, supers, bands)
+    tab = np.asarray(tabset.rows)
+    rc = np.asarray(tabset.row_cnt)
     nc = np.asarray(bands.near_cnt)
     ni = np.asarray(bands.near_idx)
     kgm = np.asarray(cells.child_gmass).reshape(-1)
-    a_cols = cfg.sup_cap * 9
-    b_cols = cfg.mid_cap * 9
-    c_cols = cfg.cmid_cap * 9
+    n_cap = cfg.near_cap
     for ti in range(min(tab.shape[0], 4)):
-        # A rows: 8 cells - super => net 0; B rows: children - cell => 0;
-        # C rows: grandchildren - child => 0
-        np.testing.assert_allclose(tab[ti, :a_cols, 3].sum(), 0.0, atol=2e-2)
-        np.testing.assert_allclose(
-            tab[ti, a_cols:a_cols + b_cols, 3].sum(), 0.0, atol=2e-2
-        )
-        np.testing.assert_allclose(
-            tab[ti, a_cols + b_cols:a_cols + b_cols + c_cols, 3].sum(),
-            0.0, atol=2e-2,
-        )
-        # N rows: minus each near child's mass
+        # near region: minus each near child's mass
         want = -kgm[ni[ti, : nc[ti]]].sum()
         np.testing.assert_allclose(
-            tab[ti, a_cols + b_cols + c_cols:, 3].sum(), want,
-            rtol=1e-4, atol=1e-3,
+            tab[ti, :n_cap, 3].sum(), want, rtol=1e-4, atol=1e-3
         )
+        # item region: every 9-row item (8 refinements - anti-parent)
+        # nets ~0 mass, so the whole region telescopes to 0
+        items = tab[ti, n_cap:, 3].reshape(-1, 9)
+        np.testing.assert_allclose(items.sum(axis=1), 0.0, atol=2e-2)
+        # rows past row_cnt are identically zero (sweep-skip invariant)
+        assert rc[ti] == n_cap + 9 * (
+            np.asarray(bands.sup_cnt)[ti] + np.asarray(bands.mid_cnt)[ti]
+            + np.asarray(bands.cmid_cnt)[ti]
+        )
+        assert np.all(tab[ti, rc[ti]:, :] == 0.0)
 
 
 def test_grouped_matches_direct_within_theta_error():
@@ -287,7 +289,7 @@ def test_band_sum_equals_full_decomposition():
     cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
     tab = forces.build_cell_tables(cells, supers, bands)
     far = np.asarray(forces.far_sweep_jnp(pos_s, supers, cfg))
-    mid = np.asarray(forces.table_sweep_jnp(pos_s, tab, cfg))
+    mid = np.asarray(forces.table_sweep_jnp(pos_s, tab.rows, cfg))
     corr = np.asarray(
         forces.near_correction_jnp(
             pos_s, pos_s, mass_s, bands.span_first, bands.span_count, cfg
@@ -314,8 +316,8 @@ def test_pallas_matches_jnp_far_mid_near():
     f_pal = far_sweep_pallas(pos_s, supers, cfg)
     np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_jnp), rtol=2e-5, atol=2e-4)
 
-    m_jnp = forces.table_sweep_jnp(pos_s, tab, cfg)
-    m_pal = table_sweep_pallas(pos_s, tab, cfg)
+    m_jnp = forces.table_sweep_jnp(pos_s, tab.rows, cfg)
+    m_pal = table_sweep_pallas(pos_s, tab.rows, cfg, tab.row_cnt)
     np.testing.assert_allclose(np.asarray(m_pal), np.asarray(m_jnp), rtol=2e-5, atol=2e-4)
 
     c_jnp = forces.near_correction_jnp(
