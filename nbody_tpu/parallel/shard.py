@@ -5,21 +5,27 @@ multi-device story of any kind.  This module is the new capability that
 lets the same physics scale across a TPU slice (BASELINE config 5:
 N=4M over v5e-8).
 
-Decomposition (round 1):
-  * particles are sharded along N ("bodies" mesh axis);
-  * positions+masses are all-gathered over ICI; the cheap dense phases
-    (bbox, Morton sort, group monopoles, near lists) run replicated —
-    they are O(N) with small constants vs the force sweep's O(N * G);
-  * each chip evaluates the far monopole sweep and near P2P corrections
-    ONLY for its contiguous slab of target groups — exactly 1/D of the
-    dominant dense work;
-  * one all_gather re-assembles the accelerations; integration is
-    shard-local.
+Decomposition (the "config-5" design, SURVEY.md §2.3 row SP/CP):
 
-The all-gathers ride ICI (4M particles x 16 B = 64 MB per step over
-~100+ GB/s links).  A locality-aware variant (shard-local sort +
-exchanged group tables only) is the planned round-2 upgrade; the API
-here won't change.
+  * particles live in Morton-SORTED SLABS: chip d owns the contiguous
+    range [d*N/D, (d+1)*N/D) of the global sorted order, so each chip's
+    targets are spatially compact;
+  * per REBUILD (once per band-reuse cycle): codes are computed locally
+    and the full sorted state is re-slabbed via one all_gather (16-28 B
+    per particle, amortized over the K steps of the cycle); the adaptive
+    source cells and super monopoles are built replicated (O(N) scans
+    with small constants — a sharded-scan build is a further upgrade);
+  * CLASSIFICATION (band lists + tables — the dominant build cost) runs
+    ONLY for the chip's own T/D target blocks: per-chip band shapes are
+    statically T/D (asserted at trace time below);
+  * per STEP, the only communication is one all_gather of LIVE positions
+    (12 B/particle over ICI — ~0.5 ms at 4M on a v5e-8) so the exact
+    near-band P2P sees current sources; the far/mid sweeps read the
+    frozen replicated monopoles (KBs) and the chip's own tables;
+  * integration is slab-local.
+
+Per-chip per-step compute is therefore ~1/D of the sweep work; the
+replicated residue is the per-cycle sort + cell build only.
 """
 
 from __future__ import annotations
@@ -48,62 +54,87 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs), (AXIS,))
 
 
-def _local_bh_step(pos, vel, mass, acc, cfg: SimConfig):
-    """Body of the shard_map: args are the LOCAL shard [N/D, ...].
+def _gather(x):
+    g = jax.lax.all_gather(x, AXIS)
+    return g.reshape((-1,) + g.shape[2:])
 
-    Replicated cheap phases (bbox, Morton, sort, group monopoles, near
-    lists — all O(N) dense ops), sharded expensive phase: chip `me`
-    evaluates the far sweep and near corrections only for ITS contiguous
-    slab of the sorted order (exactly 1/D of the dense work), then acc
-    slabs are re-assembled with one all_gather.
-    """
-    pos_g = jax.lax.all_gather(pos, AXIS).reshape(-1, 3)
-    mass_g = jax.lax.all_gather(mass, AXIS).reshape(-1)
 
+def _sort_global(pos_g, cfg: SimConfig):
+    """Replicated global Morton sort (codes are 4 B/particle; every chip
+    computes the same permutation)."""
     lo, size = bbox.bounding_cube(pos_g)
     codes = morton.encode30(pos_g, lo, size)
-    codes_s, perm = morton.morton_sort_30(codes)
+    return morton.morton_sort_30(codes)
+
+
+def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
+    """Replicated cells/supers + MY SLAB's classification.
+
+    pos_s/mass_s/codes_s/drift are the GLOBAL sorted (padded) arrays;
+    returns (cells, supers, bands_slab, tables_slab, my_pos, my_drift).
+    Per-chip classification work is statically T/D — asserted below.
+    """
+    from nbody_tpu.ops.cells import build_source_cells
+
+    d = jax.lax.axis_size(AXIS)
+    me = jax.lax.axis_index(AXIS)
+    n_pad = pos_s.shape[0]
+    m = n_pad // d                        # slab particles
+    b = cfg.force_tile
+
+    box_lo, box_size = bbox.bounding_cube(pos_s)
+    cells = build_source_cells(
+        codes_s, pos_s, mass_s, b, cfg.g, cfg.cell_capacity,
+        box_lo, box_size, drift_sorted=drift,
+    )
+    supers = forces.make_supers(cells)
+
+    start = me * m
+    my_pos = jax.lax.dynamic_slice_in_dim(pos_s, start, m, 0)
+    my_drift = (
+        None if drift is None
+        else jax.lax.dynamic_slice_in_dim(drift, start, m, 0)
+    )
+    tgt_subs = forces.target_subspheres(my_pos, b, drift=my_drift)
+    bands = forces.cell_band_lists(tgt_subs, supers, cells, cfg)
+    tables = forces.build_cell_tables(cells, supers, bands)
+    # config-5 invariant: classification output is the LOCAL slab only
+    assert bands.sup_idx.shape[0] == m // b, (
+        "per-chip classification must cover exactly T/D target blocks"
+    )
+    assert tables.rows.shape[0] == m // b
+    return cells, supers, bands, tables, my_pos
+
+
+def _local_bh_step(pos, vel, mass, acc, cfg: SimConfig):
+    """shard_map body for the single-step path: args are LOCAL slabs of
+    the ORIGINAL particle order [N/D, ...].
+
+    Sort + cells are replicated (cheap O(N) scans); classification,
+    tables, all three sweeps, and integration cover only this chip's
+    slab of the sorted order.
+    """
+    pos_g = _gather(pos)
+    mass_g = _gather(mass)
+
+    codes_s, perm = _sort_global(pos_g, cfg)
     pos_s = pos_g[perm]
     mass_s = mass_g[perm]
+    ps, ms, cs = forces.pad_sorted(pos_s, mass_s, codes_s, cfg.force_tile)
 
     d = jax.lax.axis_size(AXIS)
     me = jax.lax.axis_index(AXIS)
     n_total = pos_g.shape[0]
     n_local = n_total // d
 
-    b = cfg.force_tile
-    cells, supers, bands, _ = forces.build_bands(pos_s, mass_s, codes_s, cfg)
-
-    # my slab of targets (contiguous blocks => contiguous particles)
-    t_total = n_total // b
-    t_local = t_total // d
-    start_p = me * (t_local * b)
-    my_pos = jax.lax.dynamic_slice_in_dim(pos_s, start_p, t_local * b, 0)
-
-    def _slab(x):
-        return jax.lax.dynamic_slice_in_dim(x, me * t_local, t_local, 0)
-
-    my_bands = forces.CellBands(
-        sup_idx=_slab(bands.sup_idx), sup_cnt=_slab(bands.sup_cnt),
-        mid_idx=_slab(bands.mid_idx), mid_cnt=_slab(bands.mid_cnt),
-        cmid_idx=_slab(bands.cmid_idx), cmid_cnt=_slab(bands.cmid_cnt),
-        near_idx=_slab(bands.near_idx), near_cnt=_slab(bands.near_cnt),
-        span_first=_slab(bands.span_first),
-        span_count=_slab(bands.span_count),
-        span_cnt=_slab(bands.span_cnt),
-        sup_overflow=bands.sup_overflow,
-        mid_overflow=bands.mid_overflow,
-        cmid_overflow=bands.cmid_overflow,
-        near_overflow=bands.near_overflow,
-    )
-    my_tab = forces.build_cell_tables(cells, supers, my_bands)
+    cells, supers, bands, tables, my_pos = _classify_slab(ps, ms, cs, cfg)
     acc_slab = forces.apply_bands(
-        my_pos, None, supers, my_bands, my_tab, cfg,
-        src_pos=pos_s, src_mass=mass_s,
+        my_pos, None, supers, bands, tables, cfg,
+        src_pos=ps, src_mass=ms,
     )
 
     # Re-assemble sorted acc and route back to original sharded order.
-    acc_s = jax.lax.all_gather(acc_slab, AXIS).reshape(-1, 3)
+    acc_s = _gather(acc_slab)[: n_total]
     acc_orig = jnp.zeros_like(acc_s).at[perm].set(acc_s)
     my_acc = jax.lax.dynamic_slice_in_dim(acc_orig, me * n_local, n_local, 0)
 
@@ -113,12 +144,15 @@ def _local_bh_step(pos, vel, mass, acc, cfg: SimConfig):
 
 
 def make_sharded_step(cfg: SimConfig, mesh: Mesh):
-    """Jitted multi-chip step: ParticleState sharded along N -> same."""
+    """Jitted multi-chip step: ParticleState sharded along N -> same.
+    Requires n % (n_devices * force_tile) == 0 (use make_sharded_runner
+    for arbitrary n — it pads)."""
     d = mesh.devices.size
     if cfg.n % (d * cfg.force_tile):
         raise ValueError(
             f"n={cfg.n} must be a multiple of n_devices*force_tile="
-            f"{d * cfg.force_tile} for the sharded step"
+            f"{d * cfg.force_tile} for the sharded step; "
+            "make_sharded_runner handles arbitrary n by padding"
         )
 
     fn = shard_map(
@@ -135,6 +169,124 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh):
         return ParticleState(pos=pos, vel=vel, mass=mass, acc=acc)
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Sharded band-reuse cycles (the production multi-chip path)
+# ---------------------------------------------------------------------------
+
+
+def _sharded_cycles_body(pos, vel, mass, acc, orig, cfg: SimConfig,
+                         n_cycles: int, k: int):
+    """shard_map body advancing local slabs by n_cycles * k steps.
+
+    Slabs are in the GLOBAL SORTED ORDER of the latest rebuild; `orig`
+    maps slab rows to original particle ids (pad rows -> n).  Each cycle:
+    one full-state all_gather + replicated sort/cells + slab-local
+    classification, then k steps whose only communication is the live
+    position all_gather for the near band.
+    """
+    d = jax.lax.axis_size(AXIS)
+    me = jax.lax.axis_index(AXIS)
+    m = pos.shape[0]
+    b = cfg.force_tile
+
+    def cycle(carry, _):
+        pos, vel, mass, acc, orig = carry
+        # ---- rebuild: re-slab the full sorted state (1/cycle) ----
+        pos_g = _gather(pos)
+        vel_g = _gather(vel)
+        mass_g = _gather(mass)
+        acc_g = _gather(acc)
+        orig_g = _gather(orig)
+        codes_s, perm = _sort_global(pos_g, cfg)
+        pos_s, vel_s = pos_g[perm], vel_g[perm]
+        mass_s, acc_s, orig_s = mass_g[perm], acc_g[perm], orig_g[perm]
+
+        v = jnp.sqrt(jnp.sum(vel_s * vel_s, axis=1))
+        a = jnp.sqrt(jnp.sum(acc_s * acc_s, axis=1))
+        drift = (
+            v * cfg.dt * k + 0.5 * a * cfg.dt * cfg.dt * k * (k + 1)
+        ) * cfg.skin_safety
+        if cfg.clamp_speed:
+            drift = jnp.minimum(drift, cfg.max_speed * cfg.dt * k)
+
+        cells, supers, bands, tables, my_pos = _classify_slab(
+            pos_s, mass_s, codes_s, cfg, drift=drift
+        )
+        start = me * m
+        my_vel = jax.lax.dynamic_slice_in_dim(vel_s, start, m, 0)
+        my_acc = jax.lax.dynamic_slice_in_dim(acc_s, start, m, 0)
+        my_mass = jax.lax.dynamic_slice_in_dim(mass_s, start, m, 0)
+        my_orig = jax.lax.dynamic_slice_in_dim(orig_s, start, m, 0)
+
+        # ---- k steps: only LIVE POSITIONS cross chips (near band) ----
+        def inner(c2, _):
+            p, v_, _ = c2
+            p_live = _gather(p)           # [N, 3] live sources over ICI
+            a_ = forces.apply_bands(
+                p, my_mass, supers, bands, tables, cfg,
+                src_pos=p_live, src_mass=mass_s,
+            )
+            st = integ.integrate(
+                ParticleState(pos=p, vel=v_, mass=my_mass, acc=a_), a_, cfg
+            )
+            return (st.pos, st.vel, a_), None
+
+        (my_pos2, my_vel2, my_acc2), _ = jax.lax.scan(
+            inner, (my_pos, my_vel, my_acc), None, length=k
+        )
+        return (my_pos2, my_vel2, my_mass, my_acc2, my_orig), None
+
+    carry = (pos, vel, mass, acc, orig)
+    carry, _ = jax.lax.scan(cycle, carry, None, length=n_cycles)
+    return carry
+
+
+def make_sharded_runner(cfg: SimConfig, mesh: Mesh, n_cycles: int, k: int):
+    """Jitted multi-chip band-reuse runner: advances a state (sharded
+    along N in ORIGINAL order) by n_cycles * k steps and returns it in
+    original order.  Pads n to a multiple of D * force_tile with
+    massless clones, so any n works."""
+    d = mesh.devices.size
+    b = cfg.force_tile
+    n = cfg.n
+    n_pad = -(-n // (d * b)) * (d * b)
+
+    body = shard_map(
+        functools.partial(
+            _sharded_cycles_body, cfg=cfg, n_cycles=n_cycles, k=k
+        ),
+        mesh=mesh,
+        in_specs=(P(AXIS),) * 5,
+        out_specs=(P(AXIS),) * 5,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(state: ParticleState) -> ParticleState:
+        pad = n_pad - n
+        orig = jnp.concatenate(
+            [jnp.arange(n, dtype=jnp.int32), jnp.full((pad,), n, jnp.int32)]
+        )
+        pos = jnp.concatenate(
+            [state.pos, jnp.broadcast_to(state.pos[-1], (pad, 3))]
+        )
+        vel = jnp.concatenate(
+            [state.vel, jnp.broadcast_to(state.vel[-1], (pad, 3))]
+        )
+        mass = jnp.concatenate([state.mass, jnp.zeros((pad,), state.mass.dtype)])
+        acc = jnp.concatenate([state.acc, jnp.zeros((pad, 3), state.acc.dtype)])
+        pos, vel, mass, acc, orig = body(pos, vel, mass, acc, orig)
+        # scatter back to original order (pad rows' orig == n: dropped)
+        return ParticleState(
+            pos=jnp.zeros((n, 3), pos.dtype).at[orig].set(pos),
+            vel=jnp.zeros((n, 3), vel.dtype).at[orig].set(vel),
+            mass=state.mass,
+            acc=jnp.zeros((n, 3), acc.dtype).at[orig].set(acc),
+        )
+
+    return run
 
 
 def shard_state(state: ParticleState, mesh: Mesh) -> ParticleState:
