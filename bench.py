@@ -205,16 +205,22 @@ def main():
         extra["mfu"] = round(fl / step_s / VPU_PEAK_FP32, 4)
         import jax.numpy as jnp
 
-        extra["overflow"] = bool(
+        # band-cap overflow is GRACEFUL (dropped refinement keeps its
+        # coarser monopole); cell overflow would be silently missing mass
+        # and is reported separately
+        extra["overflow_bands"] = bool(
             bands.sup_overflow | bands.mid_overflow
-            | bands.cmid_overflow | bands.near_overflow | cells.overflow
+            | bands.cmid_overflow | bands.near_overflow
         )
+        extra["overflow_cells"] = bool(cells.overflow)
+        extra["overflow"] = extra["overflow_bands"] or extra["overflow_cells"]
         print(f"[bench] bands: sup={float(jnp.mean(bands.sup_cnt)):.1f} "
               f"mid={float(jnp.mean(bands.mid_cnt)):.1f} "
               f"cmid={float(jnp.mean(bands.cmid_cnt)):.1f} "
               f"near={float(jnp.mean(bands.near_cnt)):.1f} "
               f"spans={float(jnp.mean(bands.span_cnt)):.1f} "
-              f"n_cells={int(cells.n_cells)} overflow={extra['overflow']}",
+              f"n_cells={int(cells.n_cells)} "
+              f"overflow=bands:{extra['overflow_bands']}/cells:{extra['overflow_cells']}",
               file=sys.stderr)
     except Exception as e:
         print(f"[bench] flop accounting failed: {e}", file=sys.stderr)

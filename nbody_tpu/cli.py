@@ -63,12 +63,24 @@ def cmd_run(args) -> int:
     state = jax.block_until_ready(sim.step(state))
     print(f"compile+step0: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
 
-    def report(i, s):
-        ke = metrics.kinetic_energy(s)
-        print(f"Step {i:4d}/{args.steps} | KE: {float(ke):.4e}")
+    # Per-step(-group) telemetry: "Step %4d/%d | Time | ... | Nodes: %d"
+    # parity with the legacy binaries (strings in nbody_bh.exe, SURVEY §3.3).
+    every = args.log_every or max(args.steps // 10, 1)
+    show_cells = bool(args.log_every) and args.method.startswith("barnes_hut")
+    cells_fn = jax.jit(lambda s: metrics.cell_count(s, cfg)) if show_cells else None
+    last_t = [time.perf_counter()]
 
-    state = sim.run(state, args.steps - 1, callback=report,
-                    callback_every=max(args.steps // 10, 1))
+    def report(i, s):
+        now = time.perf_counter()
+        ms = (now - last_t[0]) * 1e3 / every
+        last_t[0] = now
+        ke = metrics.kinetic_energy(s)
+        line = f"Step {i:4d}/{args.steps} | Time: {ms:8.2f} ms | KE: {float(ke):.4e}"
+        if cells_fn is not None:
+            line += f" | Cells: {int(cells_fn(s))}"
+        print(line)
+
+    state = sim.run(state, args.steps - 1, callback=report, callback_every=every)
     jax.block_until_ready(state)
     summ = metrics.summary(state, cfg, with_pe=(cfg.n <= 200_000))
     if args.method.startswith("barnes_hut") and args.diagnostics:
@@ -131,6 +143,37 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Live interactive viewer — the nbody_v5 window's TPU counterpart
+    (nbody_v5.cu:327-356 display loop, :459-473 mouse callbacks), served
+    over HTTP so it works from any browser with no GL dependency."""
+    import jax
+    from nbody_tpu.models.simulation import Simulation
+    from nbody_tpu.viz.viewer import SimViewer, serve
+
+    cfg = _cfg_from_args(args)
+    sim = Simulation(cfg, method=args.method)
+    state = sim.init_state()
+    t0 = time.perf_counter()
+    state = jax.block_until_ready(sim.step(state))
+    print(f"compile+step0: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+    viewer = SimViewer(sim, state, cfg, mode=args.mode, exposure=args.exposure,
+                       steps_per_frame=args.steps_per_frame)
+    viewer.start()
+    server = serve(viewer, port=args.port, host=args.host)
+    print(f"viewing {cfg.n} bodies at http://{args.host}:{args.port}/  "
+          f"(ssh -L {args.port}:localhost:{args.port} if remote; Ctrl-C stops)")
+    try:
+        while True:
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        viewer.stop()
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -153,6 +196,9 @@ def main(argv=None) -> int:
     p_run.add_argument("--checkpoint", default=None, help="write npz checkpoint")
     p_run.add_argument("--diagnostics", action="store_true",
                        help="report cell/band telemetry (legacy 'Nodes: %%d' parity)")
+    p_run.add_argument("--log-every", type=int, default=0, metavar="K",
+                       help="print Step|ms|KE|Cells every K steps "
+                            "(legacy 'Step %%4d/%%d | Time | Nodes' parity)")
     p_run.set_defaults(fn=cmd_run)
 
     p_b = sub.add_parser("bench", help="Frame|ms|FPS table (nbody_v5_bench parity)")
@@ -172,6 +218,16 @@ def main(argv=None) -> int:
     p_r.add_argument("--mode", choices=["add", "depth"], default="add")
     p_r.add_argument("--exposure", type=float, default=1.0)
     p_r.set_defaults(fn=cmd_render)
+
+    p_v = sub.add_parser("view", help="live interactive viewer (nbody_v5 window parity)")
+    _add_common(p_v)
+    p_v.add_argument("--port", type=int, default=8089)
+    p_v.add_argument("--host", default="127.0.0.1")
+    p_v.add_argument("--mode", choices=["add", "depth"], default="add")
+    p_v.add_argument("--exposure", type=float, default=1.0)
+    p_v.add_argument("--steps-per-frame", type=int, default=1,
+                     help="sim steps per rendered frame")
+    p_v.set_defaults(fn=cmd_view)
 
     p_i = sub.add_parser("info", help="devices + native runtime status")
     p_i.set_defaults(fn=cmd_info)

@@ -59,6 +59,10 @@ class SimConfig:
                                    # a skin margin (models/simulation.py)
     skin_safety: float = 1.3       # safety factor on the per-cycle drift
                                    # bound that sets the skin margin
+    check_overflow: bool = True    # one-time host probe on the first
+                                   # Simulation.step: warn if the adaptive
+                                   # cell cut overflows cell_capacity
+                                   # (truncation = silently missing mass)
     # --- initial conditions (nbody_v5.cu:395-414) ---
     seed: int = 42
     ic_kind: str = "disk_galaxy"   # "disk_galaxy" (v5) | "legacy_disk"

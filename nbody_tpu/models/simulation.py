@@ -205,6 +205,7 @@ class Simulation:
             raise ValueError(f"unknown method {method}")
         self._step = jax.jit(fn)
         self._multi_cache = {}
+        self._overflow_checked = method != "barnes_hut" or not cfg.check_overflow
 
     def init_state(self) -> ParticleState:
         from nbody_tpu.init import make_initial_state
@@ -212,7 +213,44 @@ class Simulation:
         return make_initial_state(self.cfg)
 
     def step(self, state: ParticleState) -> ParticleState:
+        self._check_overflow(state)
         return self._step(state)
+
+    def _check_overflow(self, state: ParticleState) -> None:
+        """One-time host-side guard: cell-capacity overflow truncates whole
+        cells (their mass vanishes from every band — a silently missing
+        force, unlike the graceful band-cap path), so surface it loudly on
+        the first step instead of only via metrics.bh_diagnostics.  Opt out
+        with cfg.check_overflow=False."""
+        if self._overflow_checked:
+            return
+        self._overflow_checked = True
+        import warnings
+
+        from nbody_tpu.ops import bbox, morton, forces
+        from nbody_tpu.ops.cells import build_source_cells
+
+        def probe(pos, mass):
+            lo, size = bbox.bounding_cube(pos)
+            cs, perm = morton.morton_sort_30(morton.encode30(pos, lo, size))
+            ps, ms, csp = forces.pad_sorted(
+                pos[perm], mass[perm], cs, self.cfg.force_tile
+            )
+            cells = build_source_cells(
+                csp, ps, ms, self.cfg.force_tile, self.cfg.g,
+                self.cfg.cell_capacity, lo, size,
+            )
+            return cells.overflow, cells.n_cells
+
+        over, n_cells = jax.jit(probe)(state.pos, state.mass)
+        if bool(over):
+            warnings.warn(
+                f"adaptive-cell capacity overflow: n_cells={int(n_cells)} > "
+                f"cell_capacity={self.cfg.cell_capacity}; truncated cells' "
+                "mass is MISSING from all forces — raise cfg.cell_cap_factor "
+                f"(now {self.cfg.cell_cap_factor})",
+                RuntimeWarning, stacklevel=3,
+            )
 
     def run(
         self,

@@ -70,6 +70,24 @@ def energy_drift(e0: float, e1: float) -> float:
     return abs(e1 - e0) / max(abs(e0), 1e-30)
 
 
+def cell_count(state: ParticleState, cfg: SimConfig) -> jax.Array:
+    """Adaptive source-cell count — the cheap jittable analog of the
+    legacy binaries' per-step "Nodes: %d" telemetry (strings in
+    nbody.exe / nbody_bh.exe, SURVEY.md §3.3)."""
+    from nbody_tpu.ops import bbox as _bbox, morton as _morton, forces as _forces
+    from nbody_tpu.ops.cells import build_source_cells
+
+    lo, size = _bbox.bounding_cube(state.pos)
+    cs, perm = _morton.morton_sort_30(_morton.encode30(state.pos, lo, size))
+    ps, ms, csp = _forces.pad_sorted(
+        state.pos[perm], state.mass[perm], cs, cfg.force_tile
+    )
+    cells = build_source_cells(
+        csp, ps, ms, cfg.force_tile, cfg.g, cfg.cell_capacity, lo, size
+    )
+    return cells.n_cells
+
+
 def bh_diagnostics(state: ParticleState, cfg: SimConfig) -> Dict[str, float]:
     """Structure telemetry — the TPU analog of the legacy binaries'
     per-step "Nodes: %d" print (strings in nbody.exe / nbody_bh.exe):

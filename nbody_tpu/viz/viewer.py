@@ -1,0 +1,228 @@
+"""Live interactive viewer — the TPU counterpart of the reference's
+OpenGL window.
+
+The reference's flagship deliverable is a real-time GLUT window you orbit
+and zoom with the mouse (display loop nbody_v5.cu:327-356, mouse/motion/
+reshape callbacks :459-473, 1280x720 window :385-389).  A TPU host has no
+GPU display path, so the equivalent here is:
+
+  * a SIM THREAD stepping the simulation and rendering frames ON DEVICE
+    (viz/render.render_frame — camera parameters are traced arguments, so
+    orbiting never recompiles), JPEG-encoding each frame on the host;
+  * a stdlib HTTP server (no extra deps) serving
+      /          an HTML page with the stream + mouse handlers
+      /stream    multipart/x-mixed-replace MJPEG (live video)
+      /frame.jpg single latest frame
+      /cam       POST {drag_dx, drag_dy} | {scroll} | {reset} -> OrbitCamera
+      /stats     JSON step counter / ms/step / camera state
+  * browser mouse events mapped exactly like the GLUT callbacks: drag
+    rotates 0.2 deg/px, wheel zooms +-150/click (nbody_v5.cu:460-469).
+
+Run:  python -m nbody_tpu view --preset v5 --port 8089
+then open http://localhost:8089/ (ssh -L 8089:localhost:8089 if remote).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from nbody_tpu.config import SimConfig
+from nbody_tpu.viz.render import OrbitCamera, render_frame
+
+_PAGE = """<!doctype html>
+<html><head><title>nbody_tpu</title><style>
+  body { margin:0; background:#000; color:#9af; font:12px monospace; overflow:hidden }
+  #hud { position:fixed; top:6px; left:8px; pointer-events:none; white-space:pre }
+  img  { display:block; width:100vw; height:100vh; object-fit:contain; cursor:grab }
+</style></head><body>
+<img id="v" src="/stream" draggable="false">
+<div id="hud"></div>
+<script>
+const v = document.getElementById('v'), hud = document.getElementById('hud');
+let drag = null;
+const post = (b) => fetch('/cam', {method:'POST', body: JSON.stringify(b)});
+v.addEventListener('mousedown', e => { drag = [e.clientX, e.clientY]; });
+window.addEventListener('mouseup', () => { drag = null; });
+window.addEventListener('mousemove', e => {
+  if (!drag) return;
+  const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
+  drag = [e.clientX, e.clientY];
+  post({drag_dx: dx, drag_dy: dy});               // 0.2 deg/px server-side
+});
+window.addEventListener('wheel', e => { post({scroll: e.deltaY < 0 ? 1 : -1}); });
+window.addEventListener('keydown', e => { if (e.key == 'r') post({reset: 1}); });
+setInterval(async () => {
+  const s = await (await fetch('/stats')).json();
+  hud.textContent = `n=${s.n}  step ${s.step}  ${s.ms_per_step.toFixed(1)} ms/step  ` +
+    `dist ${s.distance.toFixed(0)}  rot ${s.rot_x.toFixed(0)}/${s.rot_y.toFixed(0)}  [drag|wheel|r]`;
+}, 500);
+</script></body></html>"""
+
+
+class SimViewer:
+    """Owns the sim thread, the camera, and the latest encoded frame."""
+
+    def __init__(self, sim, state, cfg: SimConfig, mode: str = "add",
+                 exposure: float = 1.0, steps_per_frame: int = 1,
+                 jpeg_quality: int = 85):
+        self.sim = sim
+        self.state = state
+        self.cfg = cfg
+        self.mode = mode
+        self.exposure = exposure
+        self.steps_per_frame = max(1, steps_per_frame)
+        self.jpeg_quality = jpeg_quality
+        self.camera = OrbitCamera(cfg)
+        self.step_count = 0
+        self.ms_per_step = 0.0
+        self._lock = threading.Lock()          # camera + stats
+        self._jpeg: bytes = b""
+        self._new = threading.Condition()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # --- sim side -------------------------------------------------------
+    def _encode(self, frame) -> bytes:
+        from PIL import Image
+
+        img = (np.asarray(frame) * 255.0).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=self.jpeg_quality)
+        return buf.getvalue()
+
+    def _loop(self) -> None:
+        from nbody_tpu.utils.profiling import _sync
+
+        while not self._stop.is_set():
+            t0 = time.perf_counter()
+            self.state = self.sim.run_scan(self.state, self.steps_per_frame)
+            with self._lock:
+                d, rx, ry = (self.camera.distance, self.camera.rot_x,
+                             self.camera.rot_y)
+            frame = render_frame(
+                self.state.pos, self.state.vel, d, rx, ry,
+                self.cfg.render_width, self.cfg.render_height,
+                self.mode, self.exposure,
+            )
+            jpeg = self._encode(frame)          # host fetch = device sync
+            dt_ms = (time.perf_counter() - t0) * 1e3 / self.steps_per_frame
+            with self._lock:
+                self.step_count += self.steps_per_frame
+                self.ms_per_step = dt_ms
+            with self._new:
+                self._jpeg = jpeg
+                self._new.notify_all()
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    # --- HTTP side ------------------------------------------------------
+    def wait_frame(self, timeout: float = 60.0) -> bytes:
+        with self._new:
+            if not self._jpeg:
+                self._new.wait(timeout)
+            return self._jpeg
+
+    def apply_cam(self, msg: dict) -> None:
+        with self._lock:
+            if msg.get("reset"):
+                self.camera = OrbitCamera(self.cfg)
+            if "drag_dx" in msg or "drag_dy" in msg:
+                self.camera.drag(float(msg.get("drag_dx", 0.0)),
+                                 float(msg.get("drag_dy", 0.0)))
+            if "scroll" in msg:
+                self.camera.scroll(int(msg["scroll"]))
+            # keep the camera outside the cloud and in front of near=10
+            self.camera.distance = float(
+                np.clip(self.camera.distance, 50.0, 5.0e5)
+            )
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "n": self.cfg.n,
+                "step": self.step_count,
+                "ms_per_step": self.ms_per_step,
+                "distance": self.camera.distance,
+                "rot_x": self.camera.rot_x,
+                "rot_y": self.camera.rot_y,
+            }
+
+
+def make_handler(viewer: SimViewer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, ctype, body: bytes):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/" or self.path.startswith("/index"):
+                self._send(200, "text/html", _PAGE.encode())
+            elif self.path.startswith("/frame.jpg"):
+                self._send(200, "image/jpeg", viewer.wait_frame())
+            elif self.path.startswith("/stats"):
+                self._send(200, "application/json",
+                           json.dumps(viewer.stats()).encode())
+            elif self.path.startswith("/stream"):
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=frame")
+                self.end_headers()
+                try:
+                    while not viewer._stop.is_set():
+                        with viewer._new:
+                            viewer._new.wait(5.0)
+                            jpeg = viewer._jpeg
+                        if not jpeg:
+                            continue
+                        self.wfile.write(b"--frame\r\n")
+                        self.wfile.write(b"Content-Type: image/jpeg\r\n")
+                        self.wfile.write(
+                            f"Content-Length: {len(jpeg)}\r\n\r\n".encode())
+                        self.wfile.write(jpeg)
+                        self.wfile.write(b"\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+            else:
+                self._send(404, "text/plain", b"not found")
+
+        def do_POST(self):
+            if self.path.startswith("/cam"):
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    msg = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError:
+                    msg = {}
+                viewer.apply_cam(msg)
+                self._send(200, "application/json", b"{}")
+            else:
+                self._send(404, "text/plain", b"not found")
+
+    return Handler
+
+
+def serve(viewer: SimViewer, port: int = 8089, host: str = "127.0.0.1"
+          ) -> ThreadingHTTPServer:
+    """Start the HTTP server (returns it; call .shutdown() to stop)."""
+    server = ThreadingHTTPServer((host, port), make_handler(viewer))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
