@@ -109,9 +109,10 @@ def selfcheck(on_tpu: bool):
 
 def main():
     n = int(os.environ.get("NBODY_BENCH_N", 1_000_000))
-    frames = int(os.environ.get("NBODY_BENCH_FRAMES", 24))
+    frames = int(os.environ.get("NBODY_BENCH_FRAMES", 32))
     k = int(os.environ.get("NBODY_BENCH_K", 8))
     tile = int(os.environ.get("NBODY_BENCH_TILE", 256))
+    r = int(os.environ.get("NBODY_BENCH_R", 1))
 
     import jax
 
@@ -128,10 +129,10 @@ def main():
     # rebuild over fewer than K steps
     frames = max(k, -(-frames // k) * k)
     cfg = SimConfig(n=n, theta=0.5, use_pallas=on_tpu, rebuild_every=k,
-                    force_tile=tile)
+                    force_tile=tile, hold_farmid=r)
     sim = Simulation(cfg, method="barnes_hut")
-    print(f"[bench] n={n} theta={cfg.theta} K={k} platform={jax.devices()[0]}",
-          file=sys.stderr)
+    print(f"[bench] n={n} theta={cfg.theta} K={k} R={r} "
+          f"platform={jax.devices()[0]}", file=sys.stderr)
 
     from nbody_tpu.utils.profiling import _sync
 
@@ -225,16 +226,23 @@ def main():
     except Exception as e:
         print(f"[bench] flop accounting failed: {e}", file=sys.stderr)
 
-    # physics: energy drift over 100 further steps (KE + softened PE)
+    # physics: energy drift over >= 100 further steps (KE + softened PE).
+    # Reuses the frames-sized compiled scan (a fresh 100-step scan would
+    # cost two more multi-minute 1M compiles through the relay).
     if not os.environ.get("NBODY_BENCH_SKIP_DRIFT"):
         try:
+            reps = -(-100 // frames)
+            n_drift = reps * frames
             e0 = float(metrics.total_energy(state, cfg))
-            state2 = sim.run_scan(state, 100)
+            state2 = state
+            for _ in range(reps):
+                state2 = sim.run_scan(state2, frames)
             _sync(state2)
             e1 = float(metrics.total_energy(state2, cfg))
-            extra["drift_100"] = round(metrics.energy_drift(e0, e1), 6)
-            print(f"[bench] E0={e0:.6e} E1={e1:.6e} drift_100={extra['drift_100']}",
-                  file=sys.stderr)
+            extra["drift"] = round(metrics.energy_drift(e0, e1), 6)
+            extra["drift_steps"] = n_drift
+            print(f"[bench] E0={e0:.6e} E1={e1:.6e} "
+                  f"drift_{n_drift}={extra['drift']}", file=sys.stderr)
         except Exception as e:
             print(f"[bench] drift measurement failed: {e}", file=sys.stderr)
 

@@ -59,6 +59,22 @@ class SimConfig:
                                    # a skin margin (models/simulation.py)
     skin_safety: float = 1.3       # safety factor on the per-cycle drift
                                    # bound that sets the skin margin
+    adaptive_rebuild: bool = True  # rebuild when any particle nears its
+                                   # skin envelope instead of on a fixed
+                                   # K-step schedule: early (halo-
+                                   # dominated) epochs coast at K =
+                                   # rebuild_every, the late dense core
+                                   # triggers rebuilds as often as its
+                                   # dynamics demand (physics-safe reuse)
+    skin_width_cap: float = 0.75   # cap each particle's skin at this
+                                   # fraction of its LOCAL cell width
+                                   # (forces.local_width) so fast-core
+                                   # skins cannot flood the band caps
+    hold_farmid: int = 1           # R: inside a reuse cycle, evaluate the
+                                   # smooth far+mid bands once per R steps
+                                   # (r-RESPA force splitting); the exact
+                                   # near band stays live every step.
+                                   # Must divide rebuild_every; 1 = off
     check_overflow: bool = True    # one-time host probe on the first
                                    # Simulation.step: warn if the adaptive
                                    # cell cut overflows cell_capacity
@@ -133,11 +149,15 @@ PRESETS = {
         legacy_softening=True, clamp_speed=False, ic_kind="legacy_disk",
     ),
     # nbody_v5 interactive (nbody_v5.cu:34).
-    "v5": SimConfig(n=500_000),
-    # nbody_v5_bench at README/binary N (README.md:23).
-    "v5_bench": SimConfig(n=1_000_000),
+    "v5": SimConfig(n=500_000, rebuild_every=8),
+    # nbody_v5_bench at README/binary N (README.md:23).  K=8 band
+    # reuse is the fastest config whose late-time physics is verified
+    # (PERF.md round-2 notes: larger K / far-mid holds pump energy in
+    # the contracted core until the staleness fix lands).
+    "v5_bench": SimConfig(n=1_000_000, rebuild_every=8),
     # BASELINE config 2.
-    "bh_100k": SimConfig(n=100_000),
+    "bh_100k": SimConfig(n=100_000, rebuild_every=8),
     # BASELINE config 5: multi-chip.
-    "sharded_4m": SimConfig(n=4_000_000, mesh_shape=(8,)),
+    "sharded_4m": SimConfig(n=4_000_000, mesh_shape=(8,),
+                            rebuild_every=8),
 }

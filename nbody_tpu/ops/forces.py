@@ -217,6 +217,28 @@ def pad_sorted(pos_s, mass_s, codes_s, b):
     return pos_p, mass_p, codes_p
 
 
+def local_width(codes_s: jax.Array, box_size, b: int) -> jax.Array:
+    """Per-particle LOCAL cell-width estimate from the sorted Morton
+    codes: the depth of the smallest Morton cell containing the particle
+    and its neighbor b/8 positions away (the child-cell occupancy scale)
+    gives width = box_size * 2^-depth.  Used to cap band-reuse skin
+    margins at the local geometry scale — a skin much wider than the
+    local cell width floods the band caps (overflow => coarse-monopole
+    fallback => theta violations in the dense core)."""
+    n = codes_s.shape[0]
+    c = max(b // 8, 1)
+    left = jnp.concatenate([jnp.broadcast_to(codes_s[:1], (c,)), codes_s[:-c]])
+    right = jnp.concatenate([codes_s[c:], jnp.broadcast_to(codes_s[-1:], (c,))])
+
+    def depth(a, bb):
+        x = a ^ bb
+        lcp = jnp.where(x == 0, 30, lax.clz(x).astype(_I32) - 2)
+        return lcp // 3
+
+    d = jnp.maximum(depth(codes_s, left), depth(codes_s, right))
+    return box_size * jnp.exp2(-d.astype(jnp.float32))
+
+
 def target_subspheres(
     pos_s: jax.Array, b: int, drift: jax.Array | None = None
 ) -> GroupInfo:
@@ -736,13 +758,38 @@ def near_correction_jnp(
     tp3 = tgt_pos.reshape(-1, b, 3)
     lane = jnp.arange(b, dtype=_I32)[None, :]
 
+    # live spans are PACKED FIRST (cell_band_lists/_merge_spans), so work
+    # through them in CH-span chunks and stop at the live count — the
+    # padded tail of the static span cap costs nothing (mirrors the Pallas
+    # kernel's ceil(cnt/KSEG) segment loop)
+    k_cap = span_first.shape[1]
+    ch = min(32, k_cap)
+    n_chunks = -(-k_cap // ch)
+    pad = n_chunks * ch - k_cap
+
     def one(args):
         pb, f, c = args                      # [B,3], [K], [K]
-        pick = jnp.clip(f[:, None] + lane, 0, n_src - 1)   # [K, B]
-        ok = lane < c[:, None]
-        q = src_pos[pick].reshape(-1, 3)
-        qm = jnp.where(ok, src_mass[pick], 0.0).reshape(-1)
-        return _panel_accel(pb, q, qm, cfg.g, soft)
+        if pad:
+            f = jnp.pad(f, (0, pad))
+            c = jnp.pad(c, (0, pad))
+        cnt = jnp.sum((c > 0).astype(_I32))
+
+        def cond(s):
+            i, _ = s
+            return i * ch < cnt
+
+        def body(s):
+            i, acc = s
+            fs = lax.dynamic_slice(f, (i * ch,), (ch,))
+            cs = lax.dynamic_slice(c, (i * ch,), (ch,))
+            pick = jnp.clip(fs[:, None] + lane, 0, n_src - 1)   # [ch, B]
+            ok = lane < cs[:, None]
+            q = src_pos[pick].reshape(-1, 3)
+            qm = jnp.where(ok, src_mass[pick], 0.0).reshape(-1)
+            return i + 1, acc + _panel_accel(pb, q, qm, cfg.g, soft)
+
+        _, acc = lax.while_loop(cond, body, (jnp.int32(0), jnp.zeros((b, 3), jnp.float32)))
+        return acc
 
     acc = lax.map(one, (tp3, span_first, span_count))
     return acc.reshape(n, 3)
@@ -813,21 +860,42 @@ def apply_bands(
     the sharded step passes the global arrays."""
     if src_pos is None:
         src_pos, src_mass = pos_s, mass_s
+    return apply_farmid(pos_s, supers, tables, cfg) + apply_near(
+        pos_s, src_pos, src_mass, bands, cfg
+    )
+
+
+def apply_farmid(
+    pos_s: jax.Array, supers: Supers, tables: TableSet, cfg: SimConfig
+) -> jax.Array:
+    """The SMOOTH component only: far super sweep + mid band tables.
+    Used by the hold_farmid force splitting (models/simulation.py), which
+    freezes this component for R steps while the exact near band stays
+    live."""
     if cfg.use_pallas:
         from nbody_tpu.ops.pallas.forces import (
-            far_sweep_pallas, table_sweep_pallas, near_span_pallas,
+            far_sweep_pallas, table_sweep_pallas,
         )
 
-        far = far_sweep_pallas(pos_s, supers, cfg)
-        mid = table_sweep_pallas(pos_s, tables.rows, cfg, tables.row_cnt)
-        near = near_span_pallas(
+        return (far_sweep_pallas(pos_s, supers, cfg)
+                + table_sweep_pallas(pos_s, tables.rows, cfg, tables.row_cnt))
+    return far_sweep_jnp(pos_s, supers, cfg) + table_sweep_jnp(
+        pos_s, tables.rows, cfg
+    )
+
+
+def apply_near(
+    pos_s: jax.Array, src_pos: jax.Array, src_mass: jax.Array,
+    bands: CellBands, cfg: SimConfig,
+) -> jax.Array:
+    """The exact P2P near band only (live positions on both sides)."""
+    if cfg.use_pallas:
+        from nbody_tpu.ops.pallas.forces import near_span_pallas
+
+        return near_span_pallas(
             pos_s, src_pos, src_mass,
             bands.span_first, bands.span_count, bands.span_cnt, cfg,
         )
-    else:
-        far = far_sweep_jnp(pos_s, supers, cfg)
-        mid = table_sweep_jnp(pos_s, tables.rows, cfg)
-        near = near_correction_jnp(
-            pos_s, src_pos, src_mass, bands.span_first, bands.span_count, cfg
-        )
-    return far + mid + near
+    return near_correction_jnp(
+        pos_s, src_pos, src_mass, bands.span_first, bands.span_count, cfg
+    )

@@ -221,20 +221,38 @@ def _sharded_cycles_body(pos, vel, mass, acc, orig, cfg: SimConfig,
         my_orig = jax.lax.dynamic_slice_in_dim(orig_s, start, m, 0)
 
         # ---- k steps: only LIVE POSITIONS cross chips (near band) ----
-        def inner(c2, _):
-            p, v_, _ = c2
+        # with cfg.hold_farmid = R > 1, the smooth slab-local far+mid
+        # component is additionally held for R steps (r-RESPA split,
+        # models/simulation.py) — it involves no communication either way
+        r = max(1, cfg.hold_farmid)
+        if k % r:
+            r = 1
+
+        def one_step(p, v_, afm):
             p_live = _gather(p)           # [N, 3] live sources over ICI
-            a_ = forces.apply_bands(
-                p, my_mass, supers, bands, tables, cfg,
-                src_pos=p_live, src_mass=mass_s,
+            a_ = afm + forces.apply_near(
+                p, p_live, mass_s, bands, cfg
             )
             st = integ.integrate(
                 ParticleState(pos=p, vel=v_, mass=my_mass, acc=a_), a_, cfg
             )
-            return (st.pos, st.vel, a_), None
+            return st.pos, st.vel, a_
+
+        def subcycle(c2, _):
+            p0, v0, a0 = c2
+            # midpoint evaluation (see models/simulation.py): second-order
+            # hold; stays inside the skin-covered drift envelope
+            p_mid = p0 + v0 * (0.5 * (r - 1) * cfg.dt)
+            afm = forces.apply_farmid(p_mid, supers, tables, cfg)
+
+            def inner(c3, _):
+                p, v_, _ = c3
+                return one_step(p, v_, afm), None
+
+            return jax.lax.scan(inner, (p0, v0, a0), None, length=r)
 
         (my_pos2, my_vel2, my_acc2), _ = jax.lax.scan(
-            inner, (my_pos, my_vel, my_acc), None, length=k
+            subcycle, (my_pos, my_vel, my_acc), None, length=k // r
         )
         return (my_pos2, my_vel2, my_mass, my_acc2, my_orig), None
 

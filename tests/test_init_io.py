@@ -86,27 +86,68 @@ def test_golden_file_parses_and_stats():
     assert np.all(rows[:, 5] == 0.0)
 
 
+def _ks_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Two-sample Kolmogorov-Smirnov statistic (no scipy dependency)."""
+    a = np.sort(a)
+    b = np.sort(b)
+    allv = np.sort(np.concatenate([a, b]))
+    ca = np.searchsorted(a, allv, side="right") / len(a)
+    cb = np.searchsorted(b, allv, side="right") / len(b)
+    return float(np.max(np.abs(ca - cb)))
+
+
 @pytest.mark.skipif(not os.path.exists(GOLDEN), reason="reference golden absent")
-def test_bh_legacy_statistical_parity_with_golden():
-    """The nbody_bh source (and its RNG seed) is lost, so trajectory parity
-    is impossible (SURVEY.md §2.1); we check the same *scale* of dynamics:
-    run the bh_legacy preset 100 steps and compare aggregate statistics of
-    the final state against output_bh.txt within loose factors."""
+def test_bh_legacy_distribution_parity_with_golden():
+    """Golden-artifact parity at the golden's ACTUAL workload: 10,000
+    bodies, 100 steps, theta=0.5, dt=0.03 (output_bh.txt:1-4).
+
+    The nbody_bh source and its RNG seed are lost (SURVEY.md §2.1), so
+    trajectory parity is impossible; instead the final radial and speed
+    DISTRIBUTIONS must match the golden's within a KS distance close to
+    the ~0.02 sampling floor (measured ks_r=0.018, ks_v=0.021; the 1%
+    critical value for two n=10k samples is 0.023), plus medians within
+    5% and conservation (energy drift, momentum).  A broken build /
+    classification / force path shifts these far past the bounds.
+    Calibration note: a *uniform* +-20% G error is NOT detectable from
+    this artifact (measured ks shift < 0.002 — the legacy IC's dynamics
+    are IC-dominated over 100 steps); force accuracy at the 0.05% level
+    is enforced by the BH-vs-direct oracle tests in test_forces.py.
+    """
     from nbody_tpu.models.simulation import Simulation
+    from nbody_tpu.utils import metrics
 
     _, rows = io.load_dump(GOLDEN)
-    cfg = PRESETS["bh_legacy"].replace(use_pallas=False, n=2000)
+    cfg = PRESETS["bh_legacy"].replace(use_pallas=False, check_overflow=False)
+    assert cfg.n == rows.shape[0] == 10_000
     sim = Simulation(cfg, method="barnes_hut")
-    st = sim.run_scan(sim.init_state(), 100)
+    st0 = sim.init_state()
+    st = sim.run_scan(st0, 100)
     pos = np.asarray(st.pos)
     vel = np.asarray(st.vel)
+
     r_ours = np.linalg.norm(pos[:, :2], axis=1)
     r_gold = np.linalg.norm(rows[:, :2], axis=1)
-    # radial extent within a factor ~3 (IC distribution differs in detail)
-    assert 0.3 < np.median(r_ours) / np.median(r_gold) < 3.0
     v_ours = np.linalg.norm(vel[:, :2], axis=1)
     v_gold = np.linalg.norm(rows[:, 3:5], axis=1)
-    assert 0.2 < np.median(v_ours) / np.median(v_gold) < 5.0
+
+    assert _ks_distance(r_ours, r_gold) < 0.035
+    assert _ks_distance(v_ours, v_gold) < 0.045
+    assert abs(np.median(r_ours) / np.median(r_gold) - 1.0) < 0.05
+    assert abs(np.median(v_ours) / np.median(v_gold) - 1.0) < 0.05
+
+    # conservation over the same 100 steps (the golden has no energy
+    # record, but ours must not drift: measured ~0.0000)
+    e0 = float(metrics.total_energy(st0, cfg))
+    e1 = float(metrics.total_energy(st, cfg))
+    assert metrics.energy_drift(e0, e1) < 5e-3
+    # momentum conservation: the IC carries nonzero net momentum (random
+    # draws), so p(t) must stay near p(0), measured vs the total momentum
+    # scale
+    p0 = np.asarray(metrics.momentum(st0))
+    p1 = np.asarray(metrics.momentum(st))
+    p_scale = float(np.sum(np.asarray(st.mass)
+                           * np.linalg.norm(np.asarray(st.vel), axis=1)))
+    assert np.linalg.norm(p1 - p0) < 5e-3 * p_scale
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -67,6 +67,29 @@ def test_sharded_cycle_runner_matches_single_device(eight_devices, n_dev):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_sharded_hold_farmid_matches_single_device(eight_devices):
+    """hold_farmid (r-RESPA split) must agree between the sharded and
+    single-chip cycle runners."""
+    from nbody_tpu.models.simulation import make_cycle_runner
+    from nbody_tpu.parallel.shard import make_sharded_runner
+
+    k, n_cycles = 4, 1
+    cfg = SimConfig(n=64 * 8 * 2, theta=0.5, force_tile=64,
+                    use_pallas=False, ic_rng="jax", rebuild_every=k,
+                    hold_farmid=2)
+    state = disk_galaxy_jax(cfg.n, seed=4, g=cfg.g)
+
+    want = jax.jit(make_cycle_runner(cfg, n_cycles, k))(state)
+    mesh = make_mesh(8)
+    got = make_sharded_runner(cfg, mesh, n_cycles, k)(shard_state(state, mesh))
+    jax.block_until_ready(got)
+
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_sharded_runner_pads_arbitrary_n(eight_devices):
     """n not divisible by D*force_tile must work (massless padding)."""
     from nbody_tpu.parallel.shard import make_sharded_runner

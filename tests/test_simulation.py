@@ -135,6 +135,79 @@ def test_cycle_reuse_matches_per_step_rebuild():
     )
 
 
+def test_hold_farmid_matches_per_step_farmid():
+    """hold_farmid=4 (r-RESPA force splitting: far+mid evaluated once per
+    4 steps, exact near band live every step) must track the per-step
+    trajectory: the held component is smooth and theta-approximate, so its
+    staleness error is far below the MAC truncation error."""
+    n = 4096
+    cfg1 = SimConfig(n=n, force_tile=256, use_pallas=False,
+                     sup_cap=64, mid_cap=256, cmid_cap=512, near_cap=512,
+                     rebuild_every=8)
+    cfgr = cfg1.replace(hold_farmid=4)
+    state = disk_galaxy_jax(n, seed=6, g=cfg1.g)
+    out1 = Simulation(cfg1, method="barnes_hut").run_scan(state, 8)
+    outr = Simulation(cfgr, method="barnes_hut").run_scan(state, 8)
+    dp = np.linalg.norm(np.asarray(out1.pos) - np.asarray(outr.pos), axis=1)
+    moved = np.linalg.norm(np.asarray(out1.pos) - np.asarray(state.pos), axis=1)
+    assert np.median(moved) > 0.5
+    assert np.max(dp) < 0.02 * max(np.median(moved), 1.0), (
+        np.max(dp), np.median(moved)
+    )
+
+
+def test_adaptive_runner_tracks_per_step_rebuild():
+    """The adaptive runner (skin envelopes + rebuild triggers) must track
+    the per-step-rebuilt trajectory through an odd step count (exercises
+    the remainder path) and keep particle identities."""
+    n = 4096
+    cfg1 = SimConfig(n=n, force_tile=256, use_pallas=False,
+                     sup_cap=64, mid_cap=256, cmid_cap=512, near_cap=512)
+    cfga = cfg1.replace(rebuild_every=16, hold_farmid=4)
+    assert cfga.adaptive_rebuild
+    state = disk_galaxy_jax(n, seed=6, g=cfg1.g)
+    out1 = Simulation(cfg1, method="barnes_hut").run_scan(state, 11)
+    outa = Simulation(cfga, method="barnes_hut").run_scan(state, 11)
+    np.testing.assert_array_equal(np.asarray(outa.mass), np.asarray(state.mass))
+    dp = np.linalg.norm(np.asarray(out1.pos) - np.asarray(outa.pos), axis=1)
+    moved = np.linalg.norm(np.asarray(out1.pos) - np.asarray(state.pos), axis=1)
+    assert np.median(moved) > 0.5
+    assert np.max(dp) < 0.05 * max(np.median(moved), 1.0), (
+        np.max(dp), np.median(moved)
+    )
+
+
+def test_local_width_tracks_density():
+    """forces.local_width: dense regions must get smaller local widths
+    than sparse ones, and widths lie within the Morton lattice range."""
+    import jax.numpy as jnp
+    from nbody_tpu.ops import bbox, morton, forces
+
+    rng = np.random.default_rng(3)
+    dense = rng.normal(0.0, 1.0, (4096, 3)).astype(np.float32)
+    sparse = rng.uniform(-800.0, 800.0, (512, 3)).astype(np.float32)
+    pos = jnp.asarray(np.concatenate([dense, sparse]))
+    lo, size = bbox.bounding_cube(pos)
+    codes, perm = morton.morton_sort_30(morton.encode30(pos, lo, size))
+    w = np.asarray(forces.local_width(codes, size, 256))
+    is_dense = np.asarray(perm) < 4096
+    assert np.median(w[is_dense]) < 0.1 * np.median(w[~is_dense])
+    assert w.max() <= float(size) + 1e-3
+    assert w.min() > 0
+
+
+def test_hold_farmid_non_divisor_falls_back():
+    """hold_farmid that does not divide rebuild_every falls back to
+    per-step far+mid instead of mis-stepping."""
+    n = 512
+    cfg = SimConfig(n=n, force_tile=64, use_pallas=False,
+                    rebuild_every=4, hold_farmid=3)
+    state = disk_galaxy_jax(n, seed=9, g=cfg.g)
+    out = Simulation(cfg, method="barnes_hut").run_scan(state, 4)
+    assert out.pos.shape == (n, 3)
+    assert bool(np.all(np.isfinite(np.asarray(out.pos))))
+
+
 def test_cycle_reuse_remainder_and_padding():
     """n not a multiple of force_tile, n_steps not a multiple of K: the
     cycle path must still advance exactly n_steps and keep particle

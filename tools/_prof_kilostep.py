@@ -1,0 +1,39 @@
+"""Kilostep energy drift at 1M.  Usage: _prof_kilostep.py [K] [R] [N]"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import os
+import sys
+import time
+import jax
+from nbody_tpu.config import SimConfig
+from nbody_tpu.models.simulation import Simulation
+from nbody_tpu.utils import metrics
+from nbody_tpu.utils.profiling import _sync
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+R = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+N = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+A = os.environ.get("KS_ADAPTIVE", "1") == "1"
+cfg = SimConfig(n=N, theta=0.5, use_pallas=True, adaptive_rebuild=A,
+                rebuild_every=K, hold_farmid=R, check_overflow=False)
+print(f"K={K} R={R} N={N}", flush=True)
+sim = Simulation(cfg)
+st = sim.init_state()
+st = jax.device_put(st); _sync(st)
+e0 = float(metrics.total_energy(st, cfg))
+print(f"E0 = {e0:.6e}", flush=True)
+t0 = time.perf_counter()
+for i in range(1000 // 128):
+    st = sim.run_scan(st, 128)
+    _sync(st)
+    e = float(metrics.total_energy(st, cfg))
+    ke = float(metrics.kinetic_energy(st))
+    print(f"  {128*(i+1)} steps, {time.perf_counter()-t0:.1f}s  "
+          f"E={e:.4e} drift={abs(e-e0)/abs(e0):.5f} KE={ke:.3e}", flush=True)
+rem = 1000 - (1000 // 128) * 128
+if rem:
+    st = sim.run_scan(st, rem)
+    _sync(st)
+e1 = float(metrics.total_energy(st, cfg))
+print(f"E1 = {e1:.6e}  kilostep drift = {metrics.energy_drift(e0, e1):.6f}", flush=True)
+print(f"KE = {float(metrics.kinetic_energy(st)):.4e}", flush=True)
