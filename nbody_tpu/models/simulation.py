@@ -219,35 +219,39 @@ def make_cycle_runner(cfg: SimConfig, n_cycles: int, k: int):
     return run
 
 
-def make_adaptive_runner(cfg: SimConfig, n_steps: int):
-    """A jittable function advancing a state by n_steps with ADAPTIVE
-    band rebuilds (cfg.adaptive_rebuild).
+def make_adaptive_runner(cfg: SimConfig, n_steps: int,
+                         return_stats: bool = False):
+    """A jittable function advancing a state by n_steps with ADAPTIVE,
+    step-granular band rebuilds (cfg.adaptive_rebuild).
 
     Fixed-K reuse fails in the late-time dense core: per-particle skins
-    v*dt*K grow past the local cell width, flood the band caps, and the
-    graceful coarse-monopole overflow fallback becomes a systematic
-    theta violation that pumps energy (measured 6.6% kilostep drift at
-    K=32 vs 0.16% baseline).  Instead:
+    v*dt*K grow past the local cell width (~3 units hot vs ~8 units of
+    travel per step), flood the band caps, and the graceful coarse-
+    monopole overflow fallback becomes a systematic theta violation that
+    pumps energy (measured 6.6-13% kilostep drift at K=32 vs 0.16%
+    per-step baseline; tools/_prof_stale.py, _prof_skinerr.py).
+
+    The correct-by-construction scheme, one lax.while_loop iteration per
+    STEP:
 
       * at each rebuild, every particle gets an envelope
-          drift_i = max(travel_i(R steps)*1.15,
-                        min(v_i*dt*K*safety, skin_width_cap * w_loc_i))
-        where w_loc is its local Morton cell width (forces.local_width)
-        — skins stay proportional to local geometry, so the dense core
-        cannot flood the caps;
-      * every sub-cycle (R = cfg.hold_farmid steps) a trigger checks
-        whether ANY particle would leave its envelope during the next R
-        steps; if so the whole structure is rebuilt first (lax.cond).
-
-    Early halo-dominated epochs coast for ~K steps per rebuild (full
-    reuse speed); the contracted core drives rebuilds every R steps when
-    it must (full physics).  The loop is a lax.while_loop over
-    sub-cycles — shapes are static, only the rebuild cadence is dynamic.
+          drift_i = min(v_i*dt*K*safety, skin_width_cap * w_loc_i)
+        (w_loc = local Morton cell width) — skins never dwarf the local
+        geometry, so the caps cannot be flooded by reuse margins;
+      * before EVERY step, a trigger checks whether any particle's next
+        step would leave its envelope; if so the structure is rebuilt
+        first (lax.cond).  A freshly built structure used immediately is
+        exact regardless of envelope size (zero staleness at evaluation
+        time), so the hot core degrades gracefully to per-step rebuilds
+        — round-1 physics — while halo-dominated epochs coast for ~K
+        steps per rebuild at full reuse speed;
+      * the smooth far+mid component is refreshed on rebuild and at most
+        every R = cfg.hold_farmid steps (r-RESPA hold), evaluated at the
+        live positions; the exact near band is live every step.
     """
     r = max(1, cfg.hold_farmid)
     k = cfg.rebuild_every
-    n_sub, rem = divmod(n_steps, r)
-    head = 1.15  # trigger/floor headroom over the straight-line bound
+    head = 1.1  # trigger headroom over the straight-line travel bound
 
     def norms(x):
         return jnp.sqrt(jnp.sum(x * x, axis=1))
@@ -267,82 +271,70 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int):
         if cfg.clamp_speed:
             drift_k = jnp.minimum(drift_k, cfg.max_speed * cfg.dt * k)
         w_loc = forces.local_width(codes_s, size, cfg.force_tile)
-        floor = (v * cfg.dt * r + 0.5 * a * (cfg.dt * r) ** 2) * head
-        drift = jnp.maximum(
-            floor, jnp.minimum(drift_k, cfg.skin_width_cap * w_loc)
-        )
+        drift = jnp.minimum(drift_k, cfg.skin_width_cap * w_loc)
         _, supers, bands, tables = forces.build_bands(
             pos, mass, codes_s, cfg, drift=drift
         )
         return (pos, vel, mass, acc, orig, pos, drift, supers, bands, tables)
 
-    def need_rebuild(pos, vel, acc, p_ref, drift, steps_ahead):
-        used = norms(pos - p_ref)
-        v = norms(vel)
-        a = norms(acc)
-        ahead = (v * cfg.dt * steps_ahead
-                 + 0.5 * a * (cfg.dt * steps_ahead) ** 2) * head
-        return jnp.any(used + ahead > drift)
-
-    def maybe_rebuild(carry, steps_ahead):
-        pos, vel, mass, acc, orig, p_ref, drift, supers, bands, tables = carry
-        trig = need_rebuild(pos, vel, acc, p_ref, drift, steps_ahead)
-        return jax.lax.cond(
-            trig,
-            lambda c: rebuild(*c[:5]),
-            lambda c: c,
-            carry,
-        )
-
-    def steps(carry, length):
-        pos, vel, mass, acc, orig, p_ref, drift, supers, bands, tables = carry
-        p_mid = pos + vel * (0.5 * (length - 1) * cfg.dt)
-        afm = forces.apply_farmid(p_mid, supers, tables, cfg)
-
-        def inner(c3, _):
-            p, v, _ = c3
-            a = afm + forces.apply_near(p, p, mass, bands, cfg)
-            st = integ.integrate(
-                ParticleState(pos=p, vel=v, mass=mass, acc=a), a, cfg
-            )
-            return (st.pos, st.vel, a), None
-
-        (pos, vel, acc), _ = jax.lax.scan(
-            inner, (pos, vel, acc), None, length=length
-        )
-        return (pos, vel, mass, acc, orig, p_ref, drift, supers, bands, tables)
-
     def run(state: ParticleState) -> ParticleState:
         n = state.pos.shape[0]
         pos, vel, mass, acc, orig = _pad_cycle_state(state, cfg.force_tile)
-        carry = rebuild(pos, vel, mass, acc, orig)
+        built = rebuild(pos, vel, mass, acc, orig)
+        afm0 = forces.apply_farmid(built[0], built[7], built[9], cfg)
+        carry0 = (jnp.int32(0), jnp.int32(0), jnp.int32(1), afm0) + built
 
-        if n_sub:
-            def cond_fn(s):
-                return s[0] < n_sub
+        def cond_fn(s):
+            return s[0] < n_steps
 
-            def body(s):
-                i, carry = s
-                carry = jax.lax.cond(
-                    i > 0,
-                    lambda c: maybe_rebuild(c, r),
-                    lambda c: c,
-                    carry,
-                )
-                return i + 1, steps(carry, r)
+        def body(s):
+            i, afm_age, n_rb, afm = s[0], s[1], s[2], s[3]
+            pos, vel, mass, acc, orig, p_ref, drift, supers, bands, tables = s[4:]
 
-            _, carry = jax.lax.while_loop(cond_fn, body, (jnp.int32(0), carry))
-        if rem:
-            carry = maybe_rebuild(carry, rem)
-            carry = steps(carry, rem)
+            # would the NEXT step leave any particle's envelope?
+            spent = norms(pos - p_ref)
+            v = norms(vel)
+            a_n = norms(acc)
+            ahead = (v * cfg.dt + 0.5 * a_n * cfg.dt * cfg.dt) * head
+            trig = (i > 0) & jnp.any(spent + ahead > drift)
 
-        pos, vel, mass, acc, orig = carry[:5]
-        return ParticleState(
+            (pos, vel, mass, acc, orig, p_ref, drift, supers, bands,
+             tables) = jax.lax.cond(
+                trig,
+                lambda c: rebuild(*c[:5]),
+                lambda c: c,
+                (pos, vel, mass, acc, orig, p_ref, drift, supers, bands,
+                 tables),
+            )
+            # refresh the held far+mid on rebuild or every R steps
+            refresh = trig | (afm_age >= r)
+            afm = jax.lax.cond(
+                refresh,
+                lambda args: forces.apply_farmid(args[0], args[1], args[2], cfg),
+                lambda args: afm,
+                (pos, supers, tables),
+            )
+            afm_age = jnp.where(refresh, 1, afm_age + 1)
+
+            a = afm + forces.apply_near(pos, pos, mass, bands, cfg)
+            st = integ.integrate(
+                ParticleState(pos=pos, vel=vel, mass=mass, acc=a), a, cfg
+            )
+            return ((i + 1, afm_age, n_rb + trig.astype(jnp.int32), afm,
+                     st.pos, st.vel, mass, a, orig,
+                     p_ref, drift, supers, bands, tables))
+
+        out = jax.lax.while_loop(cond_fn, body, carry0)
+        pos, vel, mass, acc, orig = out[4:9]
+        result = ParticleState(
             pos=jnp.zeros((n, 3), pos.dtype).at[orig].set(pos),
             vel=jnp.zeros((n, 3), vel.dtype).at[orig].set(vel),
             mass=state.mass,
             acc=jnp.zeros((n, 3), acc.dtype).at[orig].set(acc),
         )
+        if return_stats:
+            return result, out[2]  # (state, rebuild count incl. the initial)
+        return result
 
     return run
 

@@ -22,15 +22,16 @@ st = sim.init_state()
 st = jax.device_put(st); _sync(st)
 e0 = float(metrics.total_energy(st, cfg))
 print(f"E0 = {e0:.6e}", flush=True)
+CH = int(os.environ.get("KS_CHUNK", "128"))
 t0 = time.perf_counter()
-for i in range(1000 // 128):
-    st = sim.run_scan(st, 128)
+for i in range(1000 // CH):
+    st = sim.run_scan(st, CH)
     _sync(st)
     e = float(metrics.total_energy(st, cfg))
     ke = float(metrics.kinetic_energy(st))
-    print(f"  {128*(i+1)} steps, {time.perf_counter()-t0:.1f}s  "
+    print(f"  {CH*(i+1)} steps, {time.perf_counter()-t0:.1f}s  "
           f"E={e:.4e} drift={abs(e-e0)/abs(e0):.5f} KE={ke:.3e}", flush=True)
-rem = 1000 - (1000 // 128) * 128
+rem = 1000 - (1000 // CH) * CH
 if rem:
     st = sim.run_scan(st, rem)
     _sync(st)
