@@ -147,9 +147,11 @@ def main():
     print(f"[bench] compile+first step: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # dispatched per-step latency (one host sync per frame, like the
-    # reference's cudaEventSynchronize loop, nbody_v5_bench.cu:353-366)
+    # reference's cudaEventSynchronize loop, nbody_v5_bench.cu:353-366);
+    # informational — a few frames suffice, the headline is the sustained
+    # scan below
     times = []
-    for _ in range(frames):
+    for _ in range(min(frames, 12)):
         t0 = time.perf_counter()
         state = sim.step(state)
         _sync(state)

@@ -50,8 +50,15 @@ class SimConfig:
                                    # (overflow flagged)
     near_cap: int = 256            # max near-band (exact P2P) source
                                    # children per target (overflow flagged)
-    cell_cap_factor: int = 6       # adaptive-cell capacity multiplier:
+    cell_cap_factor: int = 4       # adaptive-cell capacity multiplier:
                                    # capacity = factor * ceil(n/force_tile)
+                                   # (measured n_cells ~= 2.7 * n/force_tile
+                                   # at 1M, IC and hot states alike)
+    g2_cap_factor: int = 3         # grandchild segment capacity as a
+                                   # multiple of the child capacity
+                                   # (structural max 8; ~2-4 live); every
+                                   # rebuild pays gather traffic
+                                   # proportional to this cap
     use_pallas: bool = True        # Pallas force kernels vs pure-jnp
     rebuild_every: int = 1         # K: rebuild sort/cells/bands every K
                                    # steps; between rebuilds the frozen

@@ -67,7 +67,10 @@ class SourceCells(NamedTuple):
     child_skin: jax.Array   # [Gc, 8] same per child (bounds its
                             # grandchildren too — they are subsets)
     n_cells: jax.Array      # [] int32 actual cell count
-    overflow: jax.Array     # [] bool — cut larger than Gc
+    n_child: jax.Array      # [] int32 actual child-segment count
+    n_g2: jax.Array         # [] int32 actual grandchild-segment count
+    overflow: jax.Array     # [] bool — cut larger than Gc (or the child/
+                            # grandchild caps)
 
 
 def _seg_scan_minmax(x: jax.Array, boundary: jax.Array):
@@ -139,6 +142,7 @@ def build_source_cells(
     box_lo: jax.Array | None = None,
     box_size: jax.Array | None = None,
     drift_sorted: jax.Array | None = None,
+    g2_factor: int = 8,
 ) -> SourceCells:
     """Compute the adaptive cut and per-cell + per-child monopoles.
 
@@ -208,7 +212,10 @@ def build_source_cells(
     n_cells = grp_id[-1] + 1
     n_child = chd_id[-1] + 1
     n_g2 = g2_id[-1] + 1
-    c2_cap = 8 * c_cap
+    # grandchild segment capacity: structurally up to 8*c_cap, but cells
+    # average ~2-4 live grandchildren per child, and every array below
+    # this cap costs gather traffic per rebuild — overflow is flagged
+    c2_cap = min(g2_factor, 8) * c_cap
     overflow = (n_cells > g_cap) | (n_child > c_cap) | (n_g2 > c2_cap)
 
     # --- compact segment starts (sort beats scatter ~6x on TPU) ---
@@ -372,5 +379,7 @@ def build_source_cells(
         skin=jnp.where(valid_g, g_skin, 0.0),
         child_skin=child_skin,
         n_cells=n_cells,
+        n_child=n_child,
+        n_g2=n_g2,
         overflow=overflow,
     )

@@ -819,7 +819,7 @@ def build_bands(
     box_lo, box_size = _bbox.bounding_cube(pos_s)
     cells = build_source_cells(
         codes_s, pos_s, mass_s, b, cfg.g, cfg.cell_capacity, box_lo, box_size,
-        drift_sorted=drift,
+        drift_sorted=drift, g2_factor=cfg.g2_cap_factor,
     )
     supers = make_supers(cells)
     tgt_subs = target_subspheres(pos_s, b, drift=drift)

@@ -14,9 +14,11 @@ from nbody_tpu.utils.profiling import _sync
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 R = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 steps = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+alpha = float(sys.argv[4]) if len(sys.argv) > 4 else 0.75
 n = 1_000_000
 cfg = SimConfig(n=n, theta=0.5, use_pallas=True, rebuild_every=K,
-                hold_farmid=R, check_overflow=False)
+                hold_farmid=R, skin_width_cap=alpha, check_overflow=False)
+print(f"K={K} R={R} alpha={alpha}", flush=True)
 run = jax.jit(make_adaptive_runner(cfg, steps, return_stats=True))
 
 def measure(label, st):

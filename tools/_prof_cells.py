@@ -77,3 +77,47 @@ for name, fn, args in [
     out = fn(*args); _sync(out)
     t = time_fn(fn, *args, iters=6, warmup=1)
     print(f"{name:10s} {t['median_ms']:8.2f} ms", flush=True)
+
+# ---- tables sub-breakdown ----
+from nbody_tpu.ops.forces import build_bands, build_cell_tables, make_supers
+from nbody_tpu.ops.cells import build_source_cells as _bsc
+
+cells = f_full(ps, ms, cs)
+supers = make_supers(cells)
+from nbody_tpu.ops import forces as _forces
+subs = _forces.target_subspheres(ps, cfg.force_tile)
+bands = jax.jit(lambda ts, s, ce: _forces.cell_band_lists(ts, s, ce, cfg))(subs, supers, cells)
+_sync(bands.sup_cnt)
+
+def tab_gather_only(cells, supers, bands):
+    t = build_cell_tables(cells, supers, bands)
+    return t.rows[..., 0].sum()   # force materialization
+
+f_tab2 = jax.jit(tab_gather_only)
+_ = f_tab2(cells, supers, bands); _sync(_)
+t = time_fn(f_tab2, cells, supers, bands, iters=6, warmup=1)
+print(f"{'tables+sum':12s} {t['median_ms']:8.2f} ms", flush=True)
+
+# the [N, D] per-depth scans in isolation, both layouts
+from jax import lax as _lax
+import jax.numpy as _jnp
+N_D = 11
+idx = _jnp.arange(ps.shape[0], dtype=_jnp.int32)
+bnd_nd = (idx[:, None] % 97 == 0) | (idx[:, None] % (3 + _jnp.arange(N_D)[None, :]) == 0)
+
+def scan_nd(b):
+    s = _lax.cummax(_jnp.where(b, idx[:, None], -1), axis=0)
+    e = _lax.cummin(_jnp.where(b, idx[:, None] + 1, ps.shape[0] + 1), axis=0, reverse=True)
+    return (e - s).sum()
+
+def scan_dn(b):
+    bt = b.T
+    s = _lax.cummax(_jnp.where(bt, idx[None, :], -1), axis=1)
+    e = _lax.cummin(_jnp.where(bt, idx[None, :] + 1, ps.shape[0] + 1), axis=1, reverse=True)
+    return (e - s).sum()
+
+f_nd = jax.jit(scan_nd); f_dn = jax.jit(scan_dn)
+for nm, f in (("scan[N,D]", f_nd), ("scan[D,N]", f_dn)):
+    _ = f(bnd_nd); _sync(_)
+    t = time_fn(f, bnd_nd, iters=6, warmup=1)
+    print(f"{nm:12s} {t['median_ms']:8.2f} ms", flush=True)

@@ -14,9 +14,11 @@ K = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 R = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
 A = os.environ.get("KS_ADAPTIVE", "1") == "1"
+ALPHA = float(os.environ.get("KS_ALPHA", "0.75"))
 cfg = SimConfig(n=N, theta=0.5, use_pallas=True, adaptive_rebuild=A,
-                rebuild_every=K, hold_farmid=R, check_overflow=False)
-print(f"K={K} R={R} N={N}", flush=True)
+                rebuild_every=K, hold_farmid=R, skin_width_cap=ALPHA,
+                check_overflow=False)
+print(f"K={K} R={R} N={N} adaptive={A} alpha={ALPHA}", flush=True)
 sim = Simulation(cfg)
 st = sim.init_state()
 st = jax.device_put(st); _sync(st)
