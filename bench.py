@@ -110,9 +110,9 @@ def selfcheck(on_tpu: bool):
 def main():
     n = int(os.environ.get("NBODY_BENCH_N", 1_000_000))
     frames = int(os.environ.get("NBODY_BENCH_FRAMES", 32))
-    k = int(os.environ.get("NBODY_BENCH_K", 8))
+    k = int(os.environ.get("NBODY_BENCH_K", 16))
     tile = int(os.environ.get("NBODY_BENCH_TILE", 256))
-    r = int(os.environ.get("NBODY_BENCH_R", 1))
+    r = int(os.environ.get("NBODY_BENCH_R", 4))
 
     import jax
 

@@ -156,15 +156,15 @@ PRESETS = {
         legacy_softening=True, clamp_speed=False, ic_kind="legacy_disk",
     ),
     # nbody_v5 interactive (nbody_v5.cu:34).
-    "v5": SimConfig(n=500_000, rebuild_every=8),
-    # nbody_v5_bench at README/binary N (README.md:23).  K=8 band
-    # reuse is the fastest config whose late-time physics is verified
-    # (PERF.md round-2 notes: larger K / far-mid holds pump energy in
-    # the contracted core until the staleness fix lands).
-    "v5_bench": SimConfig(n=1_000_000, rebuild_every=8),
+    "v5": SimConfig(n=500_000, rebuild_every=16, hold_farmid=4),
+    # nbody_v5_bench at README/binary N (README.md:23).  The adaptive
+    # runner (envelope-triggered rebuilds, K=16 horizon, far+mid held 4
+    # steps) is the fastest config that passes the kilostep physics
+    # gate: 0.098% drift vs the 0.2% criterion (PERF.md round-2).
+    "v5_bench": SimConfig(n=1_000_000, rebuild_every=16, hold_farmid=4),
     # BASELINE config 2.
-    "bh_100k": SimConfig(n=100_000, rebuild_every=8),
+    "bh_100k": SimConfig(n=100_000, rebuild_every=16, hold_farmid=4),
     # BASELINE config 5: multi-chip.
     "sharded_4m": SimConfig(n=4_000_000, mesh_shape=(8,),
-                            rebuild_every=8),
+                            rebuild_every=16, hold_farmid=4),
 }
