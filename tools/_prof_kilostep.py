@@ -15,9 +15,14 @@ R = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
 A = os.environ.get("KS_ADAPTIVE", "1") == "1"
 ALPHA = float(os.environ.get("KS_ALPHA", "0.75"))
+caps = {}
+if os.environ.get("KS_CAPS"):
+    s_, m_, c_, n_ = (int(x) for x in os.environ["KS_CAPS"].split(","))
+    caps = dict(sup_cap=s_, mid_cap=m_, cmid_cap=c_, near_cap=n_)
 cfg = SimConfig(n=N, theta=0.5, use_pallas=True, adaptive_rebuild=A,
                 rebuild_every=K, hold_farmid=R, skin_width_cap=ALPHA,
-                check_overflow=False)
+                check_overflow=False, **caps)
+print(f"caps={caps}", flush=True)
 print(f"K={K} R={R} N={N} adaptive={A} alpha={ALPHA}", flush=True)
 sim = Simulation(cfg)
 st = sim.init_state()
