@@ -90,10 +90,8 @@ def selfcheck(on_tpu: bool):
             jax.jit(lambda p, s: forces.far_sweep_jnp(p, s, cfg))(ps, supers),
         ),
         "selfcheck_mid": rel(
-            jax.jit(lambda p, t, c: table_sweep_pallas(p, t, cfg, c))(
-                ps, tab.rows, tab.row_cnt
-            ),
-            jax.jit(lambda p, t: forces.table_sweep_jnp(p, t, cfg))(ps, tab.rows),
+            jax.jit(lambda p, t: table_sweep_pallas(p, t, cfg))(ps, tab),
+            jax.jit(lambda p, t: forces.table_sweep_jnp(p, t, cfg))(ps, tab),
         ),
         "selfcheck_near": rel(
             jax.jit(lambda p, m, f, c, n: near_span_pallas(p, p, m, f, c, n, cfg))(

@@ -618,16 +618,24 @@ def cell_band_lists(
 
 
 class TableSet(NamedTuple):
-    """Per-target band tables with live-row counts.
+    """Per-target band tables with live-row counts, stored PLANAR.
 
-    rows: [T, near_cap + (sup_cap+mid_cap+cmid_cap)*9, 4]; layout is
-    [near anti rows (static near_cap region, valid-prefix) | COMPACTED
-    9-row monopole items].  Rows past row_cnt are all zero, so a sweep
-    may stop after ceil(row_cnt / chunk) chunks — the Pallas table
-    kernel does exactly that (the jnp twin sweeps everything; zero rows
-    contribute nothing)."""
+    tx/ty/tz/tm: [T, R] with R = near_cap + (sup_cap+mid_cap+cmid_cap)*9;
+    row layout is [near anti rows (static near_cap region, valid-prefix)
+    | COMPACTED 9-row monopole items].  Rows past row_cnt are all zero,
+    so a sweep may stop after ceil(row_cnt / chunk) chunks — the Pallas
+    table kernel does exactly that (the jnp twin sweeps everything; zero
+    rows contribute nothing).
 
-    rows: jax.Array      # [T, R, 4] (x, y, z, G*mass)
+    Planar because a [T, R, 4] array gets the TPU (8,128) tile on its
+    LAST TWO dims — the minor dim 4 pads to 128 lanes, a 32x memory
+    expansion (12 GB at N=1M; the single-chip 4M blocker).  Four [T, R]
+    planes tile perfectly."""
+
+    tx: jax.Array        # [T, R] source x
+    ty: jax.Array        # [T, R] source y
+    tz: jax.Array        # [T, R] source z
+    tm: jax.Array        # [T, R] G * mass (negated for anti rows)
     row_cnt: jax.Array   # [T] int32 live rows
 
 
@@ -699,29 +707,50 @@ def build_cell_tables(cells, supers: Supers, bands: CellBands) -> TableSet:
     # invalid items already point at zero rows)
     key = jnp.where(valid, jnp.arange(items.shape[1], dtype=_I32)[None, :], big)
     _, items = lax.sort((key, items), dimension=1, num_keys=1)
-    tab_items = ext_all[items].reshape(t, -1, 4)
+    # one 36-float-row gather, then strided component extraction into
+    # PLANAR [T, 9K] planes (a [T, R, 4] result would lane-pad 4->128:
+    # 32x memory — see TableSet); the [T, K, 36] transient pads ~3.6x
+    g36 = ext_all[items]                              # [T, K, 36]
 
     antiN = jnp.concatenate([anti_child, jnp.zeros((1, 4), jnp.float32)])
-    tabN = antiN[jnp.minimum(bands.near_idx, k_cap)]
-    near_cap = tabN.shape[1]
+    aN = antiN[jnp.minimum(bands.near_idx, k_cap)]    # [T, near_cap, 4]
+    near_cap = aN.shape[1]
 
-    rows = jnp.concatenate([tabN, tab_items], axis=1)
+    def plane(i):
+        items_i = g36[:, :, i::4].reshape(t, -1)      # [T, 9K]
+        near_i = aN[:, :, i]                          # [T, near_cap]
+        return jnp.concatenate([near_i, items_i], axis=1)
+
     row_cnt = near_cap + 9 * (bands.sup_cnt + bands.mid_cnt + bands.cmid_cnt)
-    return TableSet(rows=rows, row_cnt=row_cnt.astype(_I32))
+    return TableSet(tx=plane(0), ty=plane(1), tz=plane(2), tm=plane(3),
+                    row_cnt=row_cnt.astype(_I32))
 
 
-def table_sweep_jnp(tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig) -> jax.Array:
-    """Per-target dense sweep over gathered source tables [T, S, 4]
-    (jnp twin of pallas.table_sweep_pallas)."""
+def table_sweep_jnp(tgt_pos: jax.Array, tables: "TableSet", cfg: SimConfig) -> jax.Array:
+    """Per-target dense sweep over the planar source tables (jnp twin of
+    pallas.table_sweep_pallas)."""
     b = cfg.force_tile
     soft = soft_term(cfg)
     t = tgt_pos.shape[0] // b
 
     def one(args):
-        pb, tab = args
-        return _panel_accel(pb, tab[:, 0:3], tab[:, 3], 1.0, soft)
+        pb, qx, qy, qz, qm = args             # [B,3], [S]x4
+        dx = qx[None, :] - pb[:, 0:1]
+        dy = qy[None, :] - pb[:, 1:2]
+        dz = qz[None, :] - pb[:, 2:3]
+        d2 = dx * dx + dy * dy + dz * dz
+        inv = lax.rsqrt(d2 + soft)
+        w = qm[None, :] * (inv * inv * inv)
+        return jnp.stack(
+            [jnp.sum(w * dx, axis=1), jnp.sum(w * dy, axis=1),
+             jnp.sum(w * dz, axis=1)], axis=1,
+        )
 
-    acc = lax.map(one, (tgt_pos.reshape(t, b, 3), tables))
+    acc = lax.map(
+        one,
+        (tgt_pos.reshape(t, b, 3), tables.tx, tables.ty, tables.tz,
+         tables.tm),
+    )
     return acc.reshape(-1, 3)
 
 
@@ -878,9 +907,9 @@ def apply_farmid(
         )
 
         return (far_sweep_pallas(pos_s, supers, cfg)
-                + table_sweep_pallas(pos_s, tables.rows, cfg, tables.row_cnt))
+                + table_sweep_pallas(pos_s, tables, cfg))
     return far_sweep_jnp(pos_s, supers, cfg) + table_sweep_jnp(
-        pos_s, tables.rows, cfg
+        pos_s, tables, cfg
     )
 
 

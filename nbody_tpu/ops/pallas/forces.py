@@ -169,34 +169,35 @@ def _table_kernel(used_ref, pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref,
 
 
 def table_sweep_pallas(
-    tgt_pos: jax.Array, tables: jax.Array, cfg: SimConfig,
+    tgt_pos: jax.Array, tables, cfg: SimConfig,
     row_cnt: jax.Array | None = None,
 ) -> jax.Array:
-    """Dense sweep over per-target source tables [T, S, 4]; twin of
-    forces.table_sweep_jnp.
+    """Dense sweep over per-target PLANAR source tables (forces.TableSet);
+    twin of forces.table_sweep_jnp.
 
-    `row_cnt` [T] (live rows per target, valid rows compacted first)
-    lets the kernel skip trailing all-padding chunks per target; without
-    it every chunk is swept."""
+    The kernel skips trailing all-padding chunks per target via the
+    TableSet's live-row counts (valid rows are compacted first)."""
     from nbody_tpu.ops.forces import soft_term
 
     n = tgt_pos.shape[0]
     b = cfg.force_tile
-    t, s, _ = tables.shape
+    t, s = tables.tx.shape
     assert t * b == n
     s_pad = -(-s // LC) * LC
-    if s_pad != s:
-        tables = jnp.pad(tables, ((0, 0), (0, s_pad - s), (0, 0)))
-    chunks = s_pad // LC
 
-    tx = tables[:, :, 0].reshape(-1)
-    ty = tables[:, :, 1].reshape(-1)
-    tz = tables[:, :, 2].reshape(-1)
-    tm = tables[:, :, 3].reshape(-1)
+    def flat(col):
+        if s_pad != s:
+            col = jnp.pad(col, ((0, 0), (0, s_pad - s)))
+        return col.reshape(-1)
+
+    chunks = s_pad // LC
+    tx = flat(tables.tx)
+    ty = flat(tables.ty)
+    tz = flat(tables.tz)
+    tm = flat(tables.tm)
     if row_cnt is None:
-        used = jnp.full((t,), chunks, jnp.int32)
-    else:
-        used = (row_cnt.astype(jnp.int32) + LC - 1) // LC
+        row_cnt = tables.row_cnt
+    used = (row_cnt.astype(jnp.int32) + LC - 1) // LC
 
     kernel = functools.partial(_table_kernel, soft=float(soft_term(cfg)))
     row = pl.BlockSpec((LC,), lambda i, j, *_, c=chunks: (i * c + j,),

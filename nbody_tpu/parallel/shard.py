@@ -102,7 +102,7 @@ def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
     assert bands.sup_idx.shape[0] == m // b, (
         "per-chip classification must cover exactly T/D target blocks"
     )
-    assert tables.rows.shape[0] == m // b
+    assert tables.tx.shape[0] == m // b
     return cells, supers, bands, tables, my_pos
 
 

@@ -132,9 +132,7 @@ def phase_times(
 
     @jax.jit
     def ph_mid(pos_p, mid_tab):
-        if cfg.use_pallas:
-            return mid_fn(pos_p, mid_tab.rows, cfg, mid_tab.row_cnt)
-        return mid_fn(pos_p, mid_tab.rows, cfg)
+        return mid_fn(pos_p, mid_tab, cfg)
 
     @jax.jit
     def ph_near(pos_p, mass_p, span_first, span_count, span_cnt):

@@ -235,7 +235,9 @@ def test_cell_tables_telescoping():
     pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
     cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
     tabset = forces.build_cell_tables(cells, supers, bands)
-    tab = np.asarray(tabset.rows)
+    # reassemble [T, R, 4] from the planar planes for the checks
+    tab = np.stack([np.asarray(tabset.tx), np.asarray(tabset.ty),
+                    np.asarray(tabset.tz), np.asarray(tabset.tm)], axis=-1)
     rc = np.asarray(tabset.row_cnt)
     nc = np.asarray(bands.near_cnt)
     ni = np.asarray(bands.near_idx)
@@ -289,7 +291,7 @@ def test_band_sum_equals_full_decomposition():
     cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
     tab = forces.build_cell_tables(cells, supers, bands)
     far = np.asarray(forces.far_sweep_jnp(pos_s, supers, cfg))
-    mid = np.asarray(forces.table_sweep_jnp(pos_s, tab.rows, cfg))
+    mid = np.asarray(forces.table_sweep_jnp(pos_s, tab, cfg))
     corr = np.asarray(
         forces.near_correction_jnp(
             pos_s, pos_s, mass_s, bands.span_first, bands.span_count, cfg
@@ -316,8 +318,8 @@ def test_pallas_matches_jnp_far_mid_near():
     f_pal = far_sweep_pallas(pos_s, supers, cfg)
     np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_jnp), rtol=2e-5, atol=2e-4)
 
-    m_jnp = forces.table_sweep_jnp(pos_s, tab.rows, cfg)
-    m_pal = table_sweep_pallas(pos_s, tab.rows, cfg, tab.row_cnt)
+    m_jnp = forces.table_sweep_jnp(pos_s, tab, cfg)
+    m_pal = table_sweep_pallas(pos_s, tab, cfg)
     np.testing.assert_allclose(np.asarray(m_pal), np.asarray(m_jnp), rtol=2e-5, atol=2e-4)
 
     c_jnp = forces.near_correction_jnp(

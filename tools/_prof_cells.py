@@ -91,7 +91,7 @@ _sync(bands.sup_cnt)
 
 def tab_gather_only(cells, supers, bands):
     t = build_cell_tables(cells, supers, bands)
-    return t.rows[..., 0].sum()   # force materialization
+    return t.tx.sum()   # force materialization
 
 f_tab2 = jax.jit(tab_gather_only)
 _ = f_tab2(cells, supers, bands); _sync(_)

@@ -28,7 +28,7 @@ subs = f_subs(ps, drift); _sync(subs.center)
 f_bands = jax.jit(lambda ts, s, ce: forces.cell_band_lists(ts, s, ce, cfg))
 bands = f_bands(subs, sup, cells); _sync(bands.sup_cnt)
 f_tab = jax.jit(lambda ce, s, b: forces.build_cell_tables(ce, s, b))
-tab = f_tab(cells, sup, bands); _sync(tab.rows)
+tab = f_tab(cells, sup, bands); _sync(tab.tx)
 
 for name, fn, args in [
     ("cells", f_cells, (ps, ms, cs, drift)),
