@@ -62,6 +62,14 @@ class SourceCells(NamedTuple):
     gchild_com: jax.Array   # [Gc, 8, 8, 3] grandchild monopoles
     gchild_gmass: jax.Array # [Gc, 8, 8]
     gchild_diam_max: jax.Array  # [Gc, 8] max grandchild width per child
+    gchild_complete: jax.Array  # [Gc, 8] bool — ALL of this child's
+                            # grandchild segments fit inside the c2 cap.
+                            # On cap overflow a child's trailing segments
+                            # are dropped (zeroed, never aliased), so its
+                            # grandchild monopoles no longer telescope to
+                            # the child mass; the classifier must not
+                            # refine such a child to grandchildren
+                            # (it goes to exact P2P instead)
     skin: jax.Array         # [Gc] max per-particle drift bound in cell
                             # (0 when no drift array was given)
     child_skin: jax.Array   # [Gc, 8] same per child (bounds its
@@ -333,14 +341,21 @@ def build_source_cells(
             nxt, n_kid_total,
         )
         n_kids = jnp.clip(jnp.where(valid, nxt - base, 0), 0, 8)
-        ok = jnp.arange(8, dtype=_I32)[None, :] < n_kids[:, None]
-        slot = jnp.clip(
-            base[:, None] + jnp.arange(8, dtype=_I32)[None, :], 0, kid_cap - 1
+        raw = base[:, None] + jnp.arange(8, dtype=_I32)[None, :]
+        # a kid slot past the kid cap must be DROPPED (zeroed by ok), not
+        # clipped onto the last stored segment — clipping would alias an
+        # unrelated segment's moments into this parent
+        ok = (jnp.arange(8, dtype=_I32)[None, :] < n_kids[:, None]) & (
+            raw < kid_cap
         )
-        return slot, ok
+        slot = jnp.clip(raw, 0, kid_cap - 1)
+        # parents whose kid range fits entirely inside the cap: only these
+        # telescope exactly (sum of kid moments == parent moment)
+        complete = valid & (base + n_kids <= kid_cap)
+        return slot, ok, complete
 
     valid_g = g_count > 0
-    slot_c, kid_ok = regroup(g_first, g_count, chd_id, c_cap, n_child)
+    slot_c, kid_ok, _ = regroup(g_first, g_count, chd_id, c_cap, n_child)
     child_com = jnp.where(kid_ok[..., None], c_com[slot_c], 0.0)
     child_gm = jnp.where(kid_ok, c_gm[slot_c], 0.0)
     child_diam = jnp.where(kid_ok, c_diam[slot_c], 0.0)
@@ -349,8 +364,12 @@ def build_source_cells(
     child_count = jnp.where(kid_ok, c_count[slot_c], 0)
 
     # grandchildren: regroup c2 segments under each FLAT child, then lift
-    # to [Gc, 8, 8] through the cell->child slots
-    slot_2, ok_2 = regroup(c_first, c_count, g2_id, c2_cap, n_g2)
+    # to [Gc, 8, 8] through the cell->child slots.  (The child level is
+    # structurally safe from cap overflow — c_cap = 8*g_cap and every cell
+    # has <= 8 children — but c2_cap = g2_factor*c_cap with g2_factor < 8
+    # is reachable; `complete` marks the children whose grandchildren all
+    # fit, the only ones the classifier may refine to grandchildren.)
+    slot_2, ok_2, complete_2 = regroup(c_first, c_count, g2_id, c2_cap, n_g2)
     gc_com_f = jnp.where(ok_2[..., None], c2_com[slot_2], 0.0)   # [Cc, 8, 3]
     gc_gm_f = jnp.where(ok_2, c2_gm[slot_2], 0.0)                # [Cc, 8]
     gc_diam_f = jnp.where(ok_2, c2_diam[slot_2], 0.0)
@@ -358,6 +377,7 @@ def build_source_cells(
     gchild_com = jnp.where(kid_ok[..., None, None], gc_com_f[slot_c], 0.0)
     gchild_gm = jnp.where(kid_ok[..., None], gc_gm_f[slot_c], 0.0)
     gchild_dm = jnp.where(kid_ok, gdm_f[slot_c], 0.0)
+    gchild_complete = kid_ok & complete_2[slot_c]
 
     return SourceCells(
         first=jnp.where(valid_g, g_first, 0),
@@ -376,6 +396,7 @@ def build_source_cells(
         gchild_com=gchild_com,
         gchild_gmass=gchild_gm,
         gchild_diam_max=gchild_dm,
+        gchild_complete=gchild_complete,
         skin=jnp.where(valid_g, g_skin, 0.0),
         child_skin=child_skin,
         n_cells=n_cells,

@@ -453,10 +453,14 @@ def cell_band_lists(
         [cellf.reshape(n_sup, 8, 5), jnp.zeros((1, 8, 5), jnp.float32)]
     )
 
-    # packed per-child fields for stage 3: [g_cap+1, 8, 13] (zero pad row):
-    # com(3), diam, gchild_diam_max, gc-COM box lo(3), hi(3), gmass, skin.
-    # The grandchild-acceptance bound needs "closest possible grandchild
-    # COM"; their bounding box is a tight-and-correct bound.
+    # packed per-child fields for stage 3: [g_cap+1, 8, 14] (zero pad row):
+    # com(3), diam, gchild_diam_max, gc-COM box lo(3), hi(3), gmass, skin,
+    # gchild_complete.  The grandchild-acceptance bound needs "closest
+    # possible grandchild COM"; their bounding box is a tight-and-correct
+    # bound.  `gchild_complete` gates grandchild refinement: a child whose
+    # grandchild segments overflowed the c2 cap has some of them dropped,
+    # so its grandchild monopoles no longer telescope to the child mass —
+    # it must take the exact P2P path instead (cells.SourceCells).
     gc_ok = cells.gchild_gmass > 0
     big_f = jnp.float32(3.0e38)
     gc_lo = jnp.min(jnp.where(gc_ok[..., None], cells.gchild_com, big_f), axis=2)
@@ -464,9 +468,10 @@ def cell_band_lists(
     kidf = jnp.concatenate(
         [cells.child_com, cells.child_diam[..., None],
          cells.gchild_diam_max[..., None], gc_lo, gc_hi,
-         cells.child_gmass[..., None], cells.child_skin[..., None]], axis=-1
-    )                                                       # [Gc, 8, 13]
-    kidf = jnp.concatenate([kidf, jnp.zeros((1, 8, 13), jnp.float32)])
+         cells.child_gmass[..., None], cells.child_skin[..., None],
+         cells.gchild_complete.astype(jnp.float32)[..., None]], axis=-1
+    )                                                       # [Gc, 8, 14]
+    kidf = jnp.concatenate([kidf, jnp.zeros((1, 8, 14), jnp.float32)])
 
     # flat per-child spans for the near band: [8*g_cap + 1] (zero pad)
     cf_flat = jnp.concatenate(
@@ -539,7 +544,7 @@ def cell_band_lists(
         # monopole; failing children refine to grandchildren (cmid) if the
         # gc-COM-box bound passes, else exact P2P (near)
         midc = jnp.minimum(mid_idx, g_cap)                 # pad -> g_cap
-        kf = kidf[midc].reshape(c_rows, mid_cap * 8, 13)   # [C, K3, 13]
+        kf = kidf[midc].reshape(c_rows, mid_cap * 8, 14)   # [C, K3, 14]
         kid_id = (midc[:, :, None] * 8 + arange8[None, None, :]).reshape(
             c_rows, -1
         )                                                  # pad -> >= k_cap
@@ -555,7 +560,11 @@ def cell_band_lists(
             jnp.maximum(jnp.min(gap_box, axis=-1), 0.0) - ksk, 0.0
         )
         dist_box = jnp.sqrt(gap_box * gap_box + soft)
-        cmid_m = failk & ((kf[..., 4] + 2.0 * ksk) / dist_box < theta)
+        cmid_m = (
+            failk
+            & ((kf[..., 4] + 2.0 * ksk) / dist_box < theta)
+            & (kf[..., 13] > 0.5)   # grandchild segments complete
+        )
         near_m = failk & ~cmid_m
         key_c = jnp.where(cmid_m, kid_id, big)
         key_n = jnp.where(near_m, kid_id + big // 2, big)

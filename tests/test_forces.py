@@ -345,3 +345,51 @@ def test_pad_to_groups_massless():
     acc_dir = np.asarray(forces.direct_forces(pos_p[:n], mass_p[:n], cfg))
     den = np.linalg.norm(acc_dir, axis=1) + 1e-12
     assert np.median(np.linalg.norm(acc_pad - acc_dir, axis=1) / den) < 0.02
+
+
+def test_g2_cap_overflow_is_graceful():
+    """Grandchild-segment cap overflow (g2_cap_factor=1 forces it on a
+    clustered cloud) must degrade gracefully: overflowed children are
+    routed to exact P2P instead of aliasing another segment's monopoles
+    into the cmid band, so accuracy stays at the normal theta level."""
+    n = 4096
+    rng = np.random.default_rng(11)
+    c = rng.uniform(-400, 400, (6, 3))
+    pos = jnp.asarray(
+        (c[rng.integers(0, 6, n)] + rng.normal(0, 2.0, (n, 3))).astype(np.float32)
+    )
+    mass = jnp.asarray(rng.uniform(1.0, 5.0, n).astype(np.float32))
+    cfg = SimConfig(n=n, theta=0.5, force_tile=256, use_pallas=False,
+                    sup_cap=64, mid_cap=256, cmid_cap=512, near_cap=512,
+                    g2_cap_factor=1)
+    pos_p, mass_p, codes_p = _sorted_grouped(pos, mass, cfg)
+    from nbody_tpu.ops.cells import build_source_cells
+
+    box_lo, box_size = bbox.bounding_cube(pos_p)
+    cells = build_source_cells(
+        codes_p, pos_p, mass_p, cfg.force_tile, cfg.g, cfg.cell_capacity,
+        box_lo, box_size, g2_factor=cfg.g2_cap_factor,
+    )
+    # the scenario must actually overflow the c2 cap, else this test is vacuous
+    assert bool(cells.overflow)
+    assert not bool(np.all(np.asarray(cells.gchild_complete)))
+
+    acc_grp = np.asarray(
+        forces.bh_forces_grouped(pos_p, mass_p, codes_p, cfg)
+    )[:n]
+    # same build without overflow (structural cap g2_factor=8) as the
+    # accuracy yardstick: overflow must not degrade beyond the normal
+    # theta error of this (pathologically clustered) cloud
+    acc_ok = np.asarray(
+        forces.bh_forces_grouped(
+            pos_p, mass_p, codes_p, cfg.replace(g2_cap_factor=8)
+        )
+    )[:n]
+    # compare in SORTED order against fp64 numpy direct on the same arrays
+    acc_dir = _numpy_direct(pos_p[:n], mass_p[:n], cfg.g,
+                            forces.soft_term(cfg))
+    den = np.linalg.norm(acc_dir, axis=1) + 1e-12
+    rel = np.linalg.norm(acc_grp - acc_dir, axis=1) / den
+    rel_ok = np.linalg.norm(acc_ok - acc_dir, axis=1) / den
+    assert np.median(rel) < np.median(rel_ok) * 1.1 + 1e-6
+    assert np.max(rel) < max(np.max(rel_ok) * 1.5, 0.25)
