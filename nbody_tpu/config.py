@@ -125,6 +125,21 @@ class SimConfig:
             # splitter assumes a child fits in at most two SPAN_ALIGN=128
             # windows, i.e. force_tile/8 <= 128.
             raise ValueError("force_tile must be <= 1024")
+        if (
+            not self.adaptive_rebuild
+            and self.hold_farmid > 1
+            and self.rebuild_every % self.hold_farmid
+        ):
+            # the fixed-K cycle runner holds far+mid in sub-cycles of
+            # exactly hold_farmid steps; a non-divisor would silently
+            # disable the hold (the adaptive runner refreshes on an age
+            # counter instead and has no divisibility requirement)
+            raise ValueError(
+                f"hold_farmid={self.hold_farmid} must divide "
+                f"rebuild_every={self.rebuild_every} when "
+                "adaptive_rebuild=False (the fixed-K cycle runner would "
+                "otherwise silently disable the far+mid hold)"
+            )
 
     @property
     def n_groups(self) -> int:

@@ -31,6 +31,31 @@ from nbody_tpu.ops import bbox, morton, forces, integrate as integ
 from nbody_tpu.ops.tree import build_tree, LinearTree
 
 
+def sort_by_morton(pos: jax.Array, cfg: SimConfig):
+    """Morton-sort honoring cfg.morton_bits: (codes30_sorted, perm, lo,
+    size).
+
+    With morton_bits=63 (legacy nbody/nbody_bh key width: 63-bit codes as
+    (hi, lo) uint32 pairs sorted lexicographically — cub::DeviceRadixSort
+    on u64 keys in nbody_bh.exe), the 30-bit codes the cell build needs
+    are the TOP 30 BITS of the 63-bit keys (bits 33..62 = hi >> 1): a
+    strict prefix of the sort key, so the sorted order of the 63-bit keys
+    is also sorted for them.  (Re-encoding at 10-bit quantization would
+    NOT nest — the lattices differ.)  Shared by the single-step path and
+    every band-reuse runner, so the legacy key width is honored
+    everywhere.
+    """
+    lo, size = bbox.bounding_cube(pos)
+    if cfg.morton_bits == 63:
+        hi, lo32 = morton.encode63(pos, lo, size)
+        shi, _, perm = morton.morton_sort_63(hi, lo32)
+        codes_s = (shi >> 1) & jnp.uint32(0x3FFFFFFF)
+    else:
+        codes = morton.encode30(pos, lo, size)
+        codes_s, perm = morton.morton_sort_30(codes)
+    return codes_s, perm, lo, size
+
+
 def compute_bh_acc(
     pos: jax.Array, mass: jax.Array, cfg: SimConfig, force_fn: str = "tiled"
 ) -> jax.Array:
@@ -40,21 +65,7 @@ def compute_bh_acc(
     (per-particle walk) — both over the same functionally built tree.
     """
     n = pos.shape[0]
-    lo, size = bbox.bounding_cube(pos)
-    if cfg.morton_bits == 63:
-        # legacy (nbody/nbody_bh) key width: 63-bit codes as (hi, lo)
-        # uint32 pairs sorted lexicographically (cub::DeviceRadixSort on
-        # u64 keys in nbody_bh.exe).  The 30-bit codes the cell build
-        # needs are the TOP 30 BITS of the 63-bit keys (bits 33..62 =
-        # hi >> 1): a strict prefix of the sort key, so the sorted order
-        # of the 63-bit keys is also sorted for them.  (Re-encoding at
-        # 10-bit quantization would NOT nest — the lattices differ.)
-        hi, lo32 = morton.encode63(pos, lo, size)
-        shi, _, perm = morton.morton_sort_63(hi, lo32)
-        codes_s = (shi >> 1) & jnp.uint32(0x3FFFFFFF)
-    else:
-        codes = morton.encode30(pos, lo, size)
-        codes_s, perm = morton.morton_sort_30(codes)
+    codes_s, perm, lo, size = sort_by_morton(pos, cfg)
     pos_s = pos[perm]
     mass_s = mass[perm]
     if force_fn == "tiled":
@@ -146,9 +157,7 @@ def make_cycle_runner(cfg: SimConfig, n_cycles: int, k: int):
 
     def cycle(carry, _):
         pos, vel, mass, acc, orig = carry
-        lo, size = bbox.bounding_cube(pos)
-        codes = morton.encode30(pos, lo, size)
-        codes_s, perm = morton.morton_sort_30(codes)
+        codes_s, perm, _, _ = sort_by_morton(pos, cfg)
         pos, vel, mass, acc, orig = (
             pos[perm], vel[perm], mass[perm], acc[perm], orig[perm]
         )
@@ -157,11 +166,7 @@ def make_cycle_runner(cfg: SimConfig, n_cycles: int, k: int):
         # supers, and target sub-spheres each carry their own local max)
         v = jnp.sqrt(jnp.sum(vel * vel, axis=1))
         a = jnp.sqrt(jnp.sum(acc * acc, axis=1))
-        drift = (
-            v * cfg.dt * k + 0.5 * a * cfg.dt * cfg.dt * k * (k + 1)
-        ) * cfg.skin_safety
-        if cfg.clamp_speed:
-            drift = jnp.minimum(drift, cfg.max_speed * cfg.dt * k)
+        drift = drift_bound(v, a, cfg, k)
         _, supers, bands, tables = forces.build_bands(
             pos, mass, codes_s, cfg, drift=drift
         )
@@ -219,6 +224,49 @@ def make_cycle_runner(cfg: SimConfig, n_cycles: int, k: int):
     return run
 
 
+def drift_bound(v: jax.Array, a: jax.Array, cfg: SimConfig, k: int) -> jax.Array:
+    """Conservative per-particle travel bound over k steps (speed v,
+    acceleration a magnitudes), scaled by cfg.skin_safety and capped by
+    the MAX_SPEED clamp when active (nbody_v5.cu:262-269).  Shared by the
+    fixed-K cycle runner, the adaptive runner, and the sharded runners so
+    their skin semantics stay in lockstep."""
+    drift = (
+        v * cfg.dt * k + 0.5 * a * cfg.dt * cfg.dt * k * (k + 1)
+    ) * cfg.skin_safety
+    if cfg.clamp_speed:
+        drift = jnp.minimum(drift, cfg.max_speed * cfg.dt * k)
+    return drift
+
+
+_HORIZON_HEADROOM = 1.1
+
+
+def adaptive_drift(v, a, codes_s, box_size, cfg: SimConfig):
+    """Width-capped per-particle skin envelopes (the adaptive runner's
+    scheme): min(k-step travel bound, skin_width_cap * local Morton cell
+    width).  Keeps fast-core skins from flooding the band caps."""
+    drift_k = drift_bound(v, a, cfg, cfg.rebuild_every)
+    w_loc = forces.local_width(codes_s, box_size, cfg.force_tile)
+    return jnp.minimum(drift_k, cfg.skin_width_cap * w_loc)
+
+
+def validity_horizon(v, a, drift, cfg: SimConfig) -> jax.Array:
+    """The largest step count s such that no particle's bounded travel
+    (v s dt + 1/2 a (s dt)^2, with headroom) exceeds its skin envelope;
+    the frozen band structure is exactly valid for s steps."""
+    head = _HORIZON_HEADROOM
+    aq = 0.5 * a * cfg.dt * cfg.dt * head
+    bq = jnp.maximum(v * cfg.dt * head, 1e-9)
+    s_lin = drift / bq
+    s_quad = (jnp.sqrt(bq * bq + 4.0 * aq * drift) - bq) / jnp.maximum(
+        2.0 * aq, 1e-12
+    )
+    s_i = jnp.where(aq > 1e-9, s_quad, s_lin)
+    return jnp.clip(
+        jnp.floor(jnp.min(s_i)).astype(jnp.int32), 1, cfg.rebuild_every
+    )
+
+
 def make_adaptive_runner(cfg: SimConfig, n_steps: int,
                          return_stats: bool = False):
     """A jittable function advancing a state by n_steps with ADAPTIVE,
@@ -255,42 +303,25 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
     """
     r = max(1, cfg.hold_farmid)
     k = cfg.rebuild_every
-    head = 1.1  # headroom over the straight-line travel bound
 
     def norms(x):
         return jnp.sqrt(jnp.sum(x * x, axis=1))
 
     def rebuild(pos, vel, mass, acc, orig):
-        lo, size = bbox.bounding_cube(pos)
-        codes = morton.encode30(pos, lo, size)
-        codes_s, perm = morton.morton_sort_30(codes)
+        codes_s, perm, _, size = sort_by_morton(pos, cfg)
         pos, vel, mass, acc, orig = (
             pos[perm], vel[perm], mass[perm], acc[perm], orig[perm]
         )
         v = norms(vel)
         a = norms(acc)
-        drift_k = (
-            v * cfg.dt * k + 0.5 * a * cfg.dt * cfg.dt * k * (k + 1)
-        ) * cfg.skin_safety
-        if cfg.clamp_speed:
-            drift_k = jnp.minimum(drift_k, cfg.max_speed * cfg.dt * k)
-        w_loc = forces.local_width(codes_s, size, cfg.force_tile)
-        drift = jnp.minimum(drift_k, cfg.skin_width_cap * w_loc)
+        drift = adaptive_drift(v, a, codes_s, size, cfg)
         _, supers, bands, tables = forces.build_bands(
             pos, mass, codes_s, cfg, drift=drift
         )
-        # VALIDITY HORIZON: the largest s with
-        #   (v_i s dt + 1/2 a_i (s dt)^2) * head <= drift_i  for all i
-        # computed ONCE here, so the steps in between carry only scalar
-        # checks (no per-step [N] reductions or array-level triggers)
-        aq = 0.5 * a * cfg.dt * cfg.dt * head
-        bq = jnp.maximum(v * cfg.dt * head, 1e-9)
-        s_lin = drift / bq
-        s_quad = (jnp.sqrt(bq * bq + 4.0 * aq * drift) - bq) / jnp.maximum(
-            2.0 * aq, 1e-12
-        )
-        s_i = jnp.where(aq > 1e-9, s_quad, s_lin)
-        s_valid = jnp.clip(jnp.floor(jnp.min(s_i)).astype(jnp.int32), 1, k)
+        # VALIDITY HORIZON computed ONCE here, so the steps in between
+        # carry only scalar checks (no per-step [N] reductions or
+        # array-level triggers)
+        s_valid = validity_horizon(v, a, drift, cfg)
         return (pos, vel, mass, acc, orig, supers, bands, tables), s_valid
 
     def run(state: ParticleState) -> ParticleState:
@@ -400,6 +431,10 @@ class Simulation:
         from nbody_tpu.ops.cells import build_source_cells
 
         def probe(pos, mass):
+            # mirror the runtime build exactly (same g2 cap factor) so the
+            # guard can see grandchild-segment overflow too; cut/segment
+            # counts are pure functions of the codes, so drift skins are
+            # irrelevant here
             lo, size = bbox.bounding_cube(pos)
             cs, perm = morton.morton_sort_30(morton.encode30(pos, lo, size))
             ps, ms, csp = forces.pad_sorted(
@@ -408,6 +443,7 @@ class Simulation:
             cells = build_source_cells(
                 csp, ps, ms, self.cfg.force_tile, self.cfg.g,
                 self.cfg.cell_capacity, lo, size,
+                g2_factor=self.cfg.g2_cap_factor,
             )
             return cells.overflow, cells.n_cells
 
@@ -474,6 +510,7 @@ class Simulation:
         dispatch at all (the reference necessarily re-launches ~500 kernels
         per step from the host).  With cfg.rebuild_every = K > 1 the
         production path rebuilds bands once per K steps (skin cycles)."""
+        self._check_overflow(state)
         k = self.cfg.rebuild_every
         if self.method != "barnes_hut" or k <= 1:
             return self._multi(n_steps)(state)

@@ -223,3 +223,35 @@ def test_cycle_reuse_remainder_and_padding():
     np.testing.assert_array_equal(np.asarray(outk.mass), np.asarray(state.mass))
     dp = np.linalg.norm(np.asarray(out1.pos) - np.asarray(outk.pos), axis=1)
     assert np.max(dp) < 0.2, np.max(dp)
+
+
+def test_morton63_honored_by_cycle_runner():
+    """bh_legacy-style configs (morton_bits=63) with rebuild_every>1 must
+    sort on the 63-bit legacy keys, tracking the per-step 63-bit path —
+    not silently switch to 30-bit sort semantics."""
+    n = 2000
+    base = SimConfig(n=n, force_tile=256, use_pallas=False,
+                     morton_bits=63, legacy_softening=True,
+                     clamp_speed=False, dt=0.03,
+                     sup_cap=64, mid_cap=256, cmid_cap=512, near_cap=512)
+    cfgk = base.replace(rebuild_every=4, adaptive_rebuild=False)
+    cfga = base.replace(rebuild_every=8, hold_farmid=4)
+    state = disk_galaxy_jax(n, seed=12, g=base.g)
+    out1 = Simulation(base, method="barnes_hut").run_scan(state, 8)
+    outk = Simulation(cfgk, method="barnes_hut").run_scan(state, 8)
+    outa = Simulation(cfga, method="barnes_hut").run_scan(state, 8)
+    moved = np.linalg.norm(np.asarray(out1.pos) - np.asarray(state.pos), axis=1)
+    assert np.median(moved) > 0.1
+    for out in (outk, outa):
+        dp = np.linalg.norm(np.asarray(out1.pos) - np.asarray(out.pos), axis=1)
+        assert np.max(dp) < 0.05 * max(np.median(moved), 1.0), np.max(dp)
+
+
+def test_hold_farmid_non_divisor_raises_for_fixed_k():
+    """With adaptive_rebuild=False, a hold that does not divide the cycle
+    is a config error (it would silently disable the r-RESPA hold)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="hold_farmid"):
+        SimConfig(n=512, rebuild_every=4, hold_farmid=3,
+                  adaptive_rebuild=False)
