@@ -9,12 +9,19 @@ Decomposition (the "config-5" design, SURVEY.md §2.3 row SP/CP):
 
   * particles live in Morton-SORTED SLABS: chip d owns the contiguous
     range [d*N/D, (d+1)*N/D) of the global sorted order, so each chip's
-    targets are spatially compact;
-  * per REBUILD (once per band-reuse cycle): codes are computed locally
-    and the full sorted state is re-slabbed via one all_gather (16-28 B
-    per particle, amortized over the K steps of the cycle); the adaptive
-    source cells and super monopoles are built replicated (O(N) scans
-    with small constants — a sharded-scan build is a further upgrade);
+    targets are spatially compact; slabs STAY RESIDENT across rebuilds —
+    the full per-particle state never crosses the wire;
+  * per REBUILD (once per band-reuse cycle): the only all_gathers are
+    positions (12 B/particle — also what every step's near band needs),
+    masses (4 B) and the (|v|, |a|) magnitudes (8 B) that set the skin
+    envelopes.  Every chip then derives the same global Morton
+    permutation (replicated O(N) sort — ~1.6 ms/M) and re-slabs its OWN
+    velocity/acceleration/id rows via a fixed-size neighbor halo
+    exchange (Morton slabs drift by only a few ranks per cycle); a
+    replicated scalar predicate falls back to a full gather in the rare
+    case a slab moved past the halo, so correctness never depends on the
+    drift bound.  The adaptive source cells and super monopoles are
+    built replicated (O(N) scans with small constants);
   * CLASSIFICATION (band lists + tables — the dominant build cost) runs
     ONLY for the chip's own T/D target blocks: per-chip band shapes are
     statically T/D (asserted at trace time below);
@@ -25,7 +32,15 @@ Decomposition (the "config-5" design, SURVEY.md §2.3 row SP/CP):
   * integration is slab-local.
 
 Per-chip per-step compute is therefore ~1/D of the sweep work; the
-replicated residue is the per-cycle sort + cell build only.
+replicated residue is the per-cycle sort + cell build only (O(N) scans,
+~8 + ~126 ms at 1M — amortized over the K steps of a cycle).
+
+Two production runners mirror the single-chip ones step for step:
+`make_sharded_runner` (fixed-K cycles, models/simulation.make_cycle_runner
+semantics) and `make_sharded_adaptive_runner` (width-capped skin
+envelopes + validity horizon, make_adaptive_runner semantics — the
+physics-gated path; see PERF.md round-2 for why fixed-K reuse fails the
+kilostep gate in the late-time dense core).
 """
 
 from __future__ import annotations
@@ -41,6 +56,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from nbody_tpu.config import SimConfig
 from nbody_tpu.state import ParticleState
 from nbody_tpu.ops import bbox, morton, forces, integrate as integ
+from nbody_tpu.models.simulation import (
+    sort_by_morton, drift_bound, adaptive_drift, validity_horizon,
+)
 
 AXIS = "bodies"
 
@@ -59,19 +77,11 @@ def _gather(x):
     return g.reshape((-1,) + g.shape[2:])
 
 
-def _sort_global(pos_g, cfg: SimConfig):
-    """Replicated global Morton sort (codes are 4 B/particle; every chip
-    computes the same permutation)."""
-    lo, size = bbox.bounding_cube(pos_g)
-    codes = morton.encode30(pos_g, lo, size)
-    return morton.morton_sort_30(codes)
-
-
 def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
     """Replicated cells/supers + MY SLAB's classification.
 
     pos_s/mass_s/codes_s/drift are the GLOBAL sorted (padded) arrays;
-    returns (cells, supers, bands_slab, tables_slab, my_pos, my_drift).
+    returns (cells, supers, bands_slab, tables_slab, my_pos).
     Per-chip classification work is statically T/D — asserted below.
     """
     from nbody_tpu.ops.cells import build_source_cells
@@ -86,6 +96,7 @@ def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
     cells = build_source_cells(
         codes_s, pos_s, mass_s, b, cfg.g, cfg.cell_capacity,
         box_lo, box_size, drift_sorted=drift,
+        g2_factor=cfg.g2_cap_factor,
     )
     supers = forces.make_supers(cells)
 
@@ -106,6 +117,100 @@ def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
     return cells, supers, bands, tables, my_pos
 
 
+def _reslab(perm, arrs, h: int):
+    """Re-slab the slab-resident `arrs` (each [m, ...] rows of the OLD
+    global sorted order) into the NEW order: returns rows
+    perm[me*m : (me+1)*m] of each array.
+
+    Fast path (fixed traffic): a 2h-row neighbor halo exchange — chip d
+    receives its left neighbor's last h rows and its right neighbor's
+    first h rows, then gathers locally.  Morton slabs drift by only a
+    few ranks per cycle, so the needed old rows almost always lie inside
+    [me*m - h, (me+1)*m + h).  A REPLICATED scalar predicate (psum of
+    out-of-range counts) selects a full-gather fallback otherwise, so
+    correctness never depends on the halo size.
+    """
+    d = jax.lax.axis_size(AXIS)
+    me = jax.lax.axis_index(AXIS)
+    m = arrs[0].shape[0]
+    start = me * m
+    need = jax.lax.dynamic_slice_in_dim(perm, start, m, 0)   # old global idx
+    base = start - h
+    off = need - base
+    n_out = jnp.sum((off < 0) | (off >= m + 2 * h))
+    # replicated predicate: every chip agrees on fast vs fallback
+    any_out = jax.lax.psum(n_out, AXIS) > 0
+
+    fwd = [(i, (i + 1) % d) for i in range(d)]   # data flows left -> right
+    bwd = [(i, (i - 1) % d) for i in range(d)]   # data flows right -> left
+
+    def fast(arrs):
+        out = []
+        for x in arrs:
+            left = jax.lax.ppermute(x[m - h:], AXIS, fwd)
+            right = jax.lax.ppermute(x[:h], AXIS, bwd)
+            ext = jnp.concatenate([left, x, right], axis=0)
+            out.append(ext[jnp.clip(off, 0, m + 2 * h - 1)])
+        return tuple(out)
+
+    def slow(arrs):
+        return tuple(_gather(x)[need] for x in arrs)
+
+    return jax.lax.cond(any_out, slow, fast, tuple(arrs)), any_out
+
+
+def _rebuild_sharded(pos, vel, mass, acc, orig, cfg: SimConfig, k: int,
+                     adaptive: bool):
+    """One sharded band rebuild.  Inputs are slab rows of the current
+    global sorted order; returns the re-slabbed state (new sorted order),
+    the frozen band structures for MY slab, the replicated global sorted
+    (pos, mass) the near band and later rebuilds need, and the validity
+    horizon (adaptive) or k.
+
+    Wire traffic: all_gather of pos (12 B/particle), mass (4 B) and
+    (|v|, |a|) (8 B) — never the full 64 B/particle state — plus the
+    fixed 2h-row halo exchange of (vel, acc, orig) in `_reslab`.
+    """
+    d = jax.lax.axis_size(AXIS)
+    me = jax.lax.axis_index(AXIS)
+    m = pos.shape[0]
+
+    pos_g = _gather(pos)
+    mass_g = _gather(mass)
+    vam_g = _gather(jnp.stack(
+        [jnp.sqrt(jnp.sum(vel * vel, axis=1)),
+         jnp.sqrt(jnp.sum(acc * acc, axis=1))], axis=1,
+    ))
+    codes_s, perm, _, box_size = sort_by_morton(pos_g, cfg)
+    pos_s = pos_g[perm]
+    mass_s = mass_g[perm]
+    v = vam_g[perm, 0]
+    a = vam_g[perm, 1]
+    if adaptive:
+        drift = adaptive_drift(v, a, codes_s, box_size, cfg)
+        s_valid = validity_horizon(v, a, drift, cfg)
+    else:
+        drift = drift_bound(v, a, cfg, k)
+        s_valid = jnp.int32(k)
+
+    # re-slab the heavy per-particle rows (vel, acc, orig) locally
+    h = max(cfg.force_tile, m // 4)
+    h = min(h, m)
+    (my_vel, my_acc, my_orig), _ = _reslab(perm, (vel, acc, orig), h)
+
+    cells, supers, bands, tables, my_pos = _classify_slab(
+        pos_s, mass_s, codes_s, cfg, drift=drift
+    )
+    start = me * m
+    my_mass = jax.lax.dynamic_slice_in_dim(mass_s, start, m, 0)
+    return (
+        (my_pos, my_vel, my_mass, my_acc, my_orig),
+        (supers, bands, tables),
+        (pos_s, mass_s),
+        s_valid,
+    )
+
+
 def _local_bh_step(pos, vel, mass, acc, cfg: SimConfig):
     """shard_map body for the single-step path: args are LOCAL slabs of
     the ORIGINAL particle order [N/D, ...].
@@ -117,7 +222,7 @@ def _local_bh_step(pos, vel, mass, acc, cfg: SimConfig):
     pos_g = _gather(pos)
     mass_g = _gather(mass)
 
-    codes_s, perm = _sort_global(pos_g, cfg)
+    codes_s, perm, _, _ = sort_by_morton(pos_g, cfg)
     pos_s = pos_g[perm]
     mass_s = mass_g[perm]
     ps, ms, cs = forces.pad_sorted(pos_s, mass_s, codes_s, cfg.force_tile)
@@ -172,53 +277,43 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh):
 
 
 # ---------------------------------------------------------------------------
-# Sharded band-reuse cycles (the production multi-chip path)
+# Sharded band-reuse runners (the production multi-chip paths)
 # ---------------------------------------------------------------------------
+
+
+def _farmid_slab(p_mid, supers, tables, cfg):
+    return forces.apply_farmid(p_mid, supers, tables, cfg)
+
+
+def _near_step(p, v_, my_mass, mass_s, bands, afm, cfg):
+    """One integration step: slab-local far+mid (held, `afm`) + live
+    near band (one live-position all_gather — the only per-step comm)."""
+    p_live = _gather(p)
+    a_ = afm + forces.apply_near(p, p_live, mass_s, bands, cfg)
+    st = integ.integrate(
+        ParticleState(pos=p, vel=v_, mass=my_mass, acc=a_), a_, cfg
+    )
+    return st.pos, st.vel, a_
 
 
 def _sharded_cycles_body(pos, vel, mass, acc, orig, cfg: SimConfig,
                          n_cycles: int, k: int):
-    """shard_map body advancing local slabs by n_cycles * k steps.
+    """shard_map body advancing local slabs by n_cycles * k steps
+    (fixed-K reuse — make_cycle_runner semantics).
 
     Slabs are in the GLOBAL SORTED ORDER of the latest rebuild; `orig`
     maps slab rows to original particle ids (pad rows -> n).  Each cycle:
-    one full-state all_gather + replicated sort/cells + slab-local
-    classification, then k steps whose only communication is the live
-    position all_gather for the near band.
+    one o(N)-traffic rebuild (_rebuild_sharded), then k steps whose only
+    communication is the live position all_gather for the near band.
     """
-    d = jax.lax.axis_size(AXIS)
-    me = jax.lax.axis_index(AXIS)
-    m = pos.shape[0]
-    b = cfg.force_tile
 
     def cycle(carry, _):
         pos, vel, mass, acc, orig = carry
-        # ---- rebuild: re-slab the full sorted state (1/cycle) ----
-        pos_g = _gather(pos)
-        vel_g = _gather(vel)
-        mass_g = _gather(mass)
-        acc_g = _gather(acc)
-        orig_g = _gather(orig)
-        codes_s, perm = _sort_global(pos_g, cfg)
-        pos_s, vel_s = pos_g[perm], vel_g[perm]
-        mass_s, acc_s, orig_s = mass_g[perm], acc_g[perm], orig_g[perm]
-
-        v = jnp.sqrt(jnp.sum(vel_s * vel_s, axis=1))
-        a = jnp.sqrt(jnp.sum(acc_s * acc_s, axis=1))
-        drift = (
-            v * cfg.dt * k + 0.5 * a * cfg.dt * cfg.dt * k * (k + 1)
-        ) * cfg.skin_safety
-        if cfg.clamp_speed:
-            drift = jnp.minimum(drift, cfg.max_speed * cfg.dt * k)
-
-        cells, supers, bands, tables, my_pos = _classify_slab(
-            pos_s, mass_s, codes_s, cfg, drift=drift
+        (slab, (supers, bands, tables), (pos_s, mass_s), _s) = (
+            _rebuild_sharded(pos, vel, mass, acc, orig, cfg, k,
+                             adaptive=False)
         )
-        start = me * m
-        my_vel = jax.lax.dynamic_slice_in_dim(vel_s, start, m, 0)
-        my_acc = jax.lax.dynamic_slice_in_dim(acc_s, start, m, 0)
-        my_mass = jax.lax.dynamic_slice_in_dim(mass_s, start, m, 0)
-        my_orig = jax.lax.dynamic_slice_in_dim(orig_s, start, m, 0)
+        my_pos, my_vel, my_mass, my_acc, my_orig = slab
 
         # ---- k steps: only LIVE POSITIONS cross chips (near band) ----
         # with cfg.hold_farmid = R > 1, the smooth slab-local far+mid
@@ -228,26 +323,16 @@ def _sharded_cycles_body(pos, vel, mass, acc, orig, cfg: SimConfig,
         if k % r:
             r = 1
 
-        def one_step(p, v_, afm):
-            p_live = _gather(p)           # [N, 3] live sources over ICI
-            a_ = afm + forces.apply_near(
-                p, p_live, mass_s, bands, cfg
-            )
-            st = integ.integrate(
-                ParticleState(pos=p, vel=v_, mass=my_mass, acc=a_), a_, cfg
-            )
-            return st.pos, st.vel, a_
-
         def subcycle(c2, _):
             p0, v0, a0 = c2
             # midpoint evaluation (see models/simulation.py): second-order
             # hold; stays inside the skin-covered drift envelope
             p_mid = p0 + v0 * (0.5 * (r - 1) * cfg.dt)
-            afm = forces.apply_farmid(p_mid, supers, tables, cfg)
+            afm = _farmid_slab(p_mid, supers, tables, cfg)
 
             def inner(c3, _):
                 p, v_, _ = c3
-                return one_step(p, v_, afm), None
+                return _near_step(p, v_, my_mass, mass_s, bands, afm, cfg), None
 
             return jax.lax.scan(inner, (p0, v0, a0), None, length=r)
 
@@ -261,20 +346,80 @@ def _sharded_cycles_body(pos, vel, mass, acc, orig, cfg: SimConfig,
     return carry
 
 
-def make_sharded_runner(cfg: SimConfig, mesh: Mesh, n_cycles: int, k: int):
-    """Jitted multi-chip band-reuse runner: advances a state (sharded
-    along N in ORIGINAL order) by n_cycles * k steps and returns it in
-    original order.  Pads n to a multiple of D * force_tile with
-    massless clones, so any n works."""
+def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
+                           n_steps: int):
+    """shard_map body advancing local slabs by n_steps with ADAPTIVE
+    band rebuilds — the sharded twin of make_adaptive_runner: width-
+    capped skin envelopes, a per-rebuild validity horizon (replicated —
+    computed from the gathered (|v|, |a|) arrays, so every chip counts
+    down in lockstep), graceful degradation to per-step rebuilds in the
+    hot core, and the far+mid r-RESPA hold refreshed on rebuild or every
+    cfg.hold_farmid steps."""
+    r = max(1, cfg.hold_farmid)
+
+    built0 = _rebuild_sharded(pos, vel, mass, acc, orig, cfg,
+                              cfg.rebuild_every, adaptive=True)
+    slab0, frozen0, glob0, s_valid0 = built0
+    afm0 = _farmid_slab(slab0[0], frozen0[0], frozen0[2], cfg)
+    carry0 = (jnp.int32(0), s_valid0, jnp.int32(0), jnp.int32(1), afm0,
+              slab0, frozen0, glob0)
+
+    def cond_fn(s):
+        return s[0] < n_steps
+
+    def body(s):
+        i, left, afm_age, n_rb, afm, slab, frozen, glob = s
+
+        trig = left <= 0
+
+        def do_rebuild(args):
+            slab, frozen, glob = args
+            new_slab, new_frozen, new_glob, s_new = _rebuild_sharded(
+                *slab, cfg, cfg.rebuild_every, adaptive=True
+            )
+            return (new_slab, new_frozen, new_glob), s_new
+
+        (slab, frozen, glob), s_new = jax.lax.cond(
+            trig, do_rebuild, lambda c: (c, jnp.int32(0)),
+            (slab, frozen, glob),
+        )
+        left = jnp.where(trig, s_new, left)
+
+        my_pos, my_vel, my_mass, my_acc, my_orig = slab
+        supers, bands, tables = frozen
+        pos_s, mass_s = glob
+
+        refresh = trig | (afm_age >= r)
+        afm = jax.lax.cond(
+            refresh,
+            lambda args: _farmid_slab(args[0], args[1], args[2], cfg),
+            lambda args: afm,
+            (my_pos, supers, tables),
+        )
+        afm_age = jnp.where(refresh, 1, afm_age + 1)
+
+        p2, v2, a2 = _near_step(
+            my_pos, my_vel, my_mass, mass_s, bands, afm, cfg
+        )
+        slab = (p2, v2, my_mass, a2, my_orig)
+        return (i + 1, left - 1, afm_age, n_rb + trig.astype(jnp.int32),
+                afm, slab, frozen, glob)
+
+    out = jax.lax.while_loop(cond_fn, body, carry0)
+    my_pos, my_vel, my_mass, my_acc, my_orig = out[5]
+    return my_pos, my_vel, my_mass, my_acc, my_orig
+
+
+def _pad_and_run(cfg: SimConfig, mesh: Mesh, body_fn):
+    """Shared wrapper: pad to a multiple of D * force_tile with massless
+    clones, run the shard_map body, scatter back to original order."""
     d = mesh.devices.size
     b = cfg.force_tile
     n = cfg.n
     n_pad = -(-n // (d * b)) * (d * b)
 
     body = shard_map(
-        functools.partial(
-            _sharded_cycles_body, cfg=cfg, n_cycles=n_cycles, k=k
-        ),
+        body_fn,
         mesh=mesh,
         in_specs=(P(AXIS),) * 5,
         out_specs=(P(AXIS),) * 5,
@@ -305,6 +450,52 @@ def make_sharded_runner(cfg: SimConfig, mesh: Mesh, n_cycles: int, k: int):
         )
 
     return run
+
+
+def make_sharded_runner(cfg: SimConfig, mesh: Mesh, n_cycles: int, k: int):
+    """Jitted multi-chip FIXED-K band-reuse runner: advances a state
+    (sharded along N in ORIGINAL order) by n_cycles * k steps and returns
+    it in original order.  Pads n to a multiple of D * force_tile with
+    massless clones, so any n works.
+
+    NOTE: fixed-K reuse fails the kilostep physics gate once the core
+    contracts (PERF.md round-2) — production multi-chip runs should use
+    make_sharded_adaptive_runner; this runner exists for K-controlled
+    experiments and as the equivalence target of the single-chip cycle
+    runner."""
+    return _pad_and_run(
+        cfg, mesh,
+        functools.partial(_sharded_cycles_body, cfg=cfg,
+                          n_cycles=n_cycles, k=k),
+    )
+
+
+def make_sharded_adaptive_runner(cfg: SimConfig, mesh: Mesh, n_steps: int):
+    """Jitted multi-chip ADAPTIVE band-reuse runner — the production
+    config-5 path (sharded twin of make_adaptive_runner; the sharded_4m
+    preset routes here via run_sharded)."""
+    return _pad_and_run(
+        cfg, mesh,
+        functools.partial(_sharded_adaptive_body, cfg=cfg, n_steps=n_steps),
+    )
+
+
+def run_sharded(cfg: SimConfig, mesh: Mesh, state: ParticleState,
+                n_steps: int) -> ParticleState:
+    """Advance n_steps on the mesh with the production policy: the
+    adaptive runner when cfg.adaptive_rebuild and cfg.rebuild_every > 1
+    (physics-gated reuse), else fixed-K cycles, else per-step rebuilds."""
+    k = cfg.rebuild_every
+    if k > 1 and cfg.adaptive_rebuild:
+        return make_sharded_adaptive_runner(cfg, mesh, n_steps)(state)
+    if k > 1:
+        n_cycles, rem = divmod(n_steps, k)
+        if n_cycles:
+            state = make_sharded_runner(cfg, mesh, n_cycles, k)(state)
+        if rem:
+            state = make_sharded_runner(cfg, mesh, 1, rem)(state)
+        return state
+    return make_sharded_runner(cfg, mesh, n_steps, 1)(state)
 
 
 def shard_state(state: ParticleState, mesh: Mesh) -> ParticleState:
