@@ -60,7 +60,14 @@ def band_flops(cfg, bands, n_pad, s_used):
 
 
 def selfcheck(on_tpu: bool):
-    """Pallas-vs-jnp twin agreement on the CURRENT backend (n=50k)."""
+    """Pallas-vs-jnp twin agreement on the CURRENT backend (n=50k),
+    exercised at TWO tile geometries so Mosaic-path regressions in the
+    kernels' windowing/padding can't ship silently:
+      * force_tile=256, default caps (the production bench geometry)
+      * force_tile=128 with near_cap=60 — an odd cap whose span table
+        (2*60=120) pads to the cap2=128 DMA boundary, plus the KSPLIT
+        sub-panel boundary at the smaller tile
+    """
     import numpy as np
     import jax
     from nbody_tpu.config import SimConfig
@@ -70,38 +77,45 @@ def selfcheck(on_tpu: bool):
         far_sweep_pallas, table_sweep_pallas, near_span_pallas,
     )
 
-    cfg = SimConfig(n=50_000, use_pallas=True)
-    st = make_initial_state(cfg)
-    lo, size = bbox.bounding_cube(st.pos)
-    sc, perm = morton.morton_sort_30(morton.encode30(st.pos, lo, size))
-    ps, ms, cs = forces.pad_sorted(st.pos[perm], st.mass[perm], sc, cfg.force_tile)
-    _, supers, bd, tab = jax.jit(
-        lambda p, m, c: forces.build_bands(p, m, c, cfg)
-    )(ps, ms, cs)
-
     def rel(a, b):
         a, b = np.asarray(a), np.asarray(b)
         den = np.linalg.norm(b, axis=1) + 1e-6
         return float(np.max(np.linalg.norm(a - b, axis=1) / den))
 
-    out = {
-        "selfcheck_far": rel(
-            jax.jit(lambda p, s: far_sweep_pallas(p, s, cfg))(ps, supers),
-            jax.jit(lambda p, s: forces.far_sweep_jnp(p, s, cfg))(ps, supers),
-        ),
-        "selfcheck_mid": rel(
-            jax.jit(lambda p, t: table_sweep_pallas(p, t, cfg))(ps, tab),
-            jax.jit(lambda p, t: forces.table_sweep_jnp(p, t, cfg))(ps, tab),
-        ),
-        "selfcheck_near": rel(
-            jax.jit(lambda p, m, f, c, n: near_span_pallas(p, p, m, f, c, n, cfg))(
-                ps, ms, bd.span_first, bd.span_count, bd.span_cnt
+    def one_geometry(cfg):
+        st = make_initial_state(cfg)
+        lo, size = bbox.bounding_cube(st.pos)
+        sc, perm = morton.morton_sort_30(morton.encode30(st.pos, lo, size))
+        ps, ms, cs = forces.pad_sorted(
+            st.pos[perm], st.mass[perm], sc, cfg.force_tile
+        )
+        _, supers, bd, tab = jax.jit(
+            lambda p, m, c: forces.build_bands(p, m, c, cfg)
+        )(ps, ms, cs)
+        return {
+            "far": rel(
+                jax.jit(lambda p, s: far_sweep_pallas(p, s, cfg))(ps, supers),
+                jax.jit(lambda p, s: forces.far_sweep_jnp(p, s, cfg))(ps, supers),
             ),
-            jax.jit(lambda p, m, f, c: forces.near_correction_jnp(p, p, m, f, c, cfg))(
-                ps, ms, bd.span_first, bd.span_count
+            "mid": rel(
+                jax.jit(lambda p, t: table_sweep_pallas(p, t, cfg))(ps, tab),
+                jax.jit(lambda p, t: forces.table_sweep_jnp(p, t, cfg))(ps, tab),
             ),
-        ),
-    }
+            "near": rel(
+                jax.jit(lambda p, m, f, c, n: near_span_pallas(p, p, m, f, c, n, cfg))(
+                    ps, ms, bd.span_first, bd.span_count, bd.span_cnt
+                ),
+                jax.jit(lambda p, m, f, c: forces.near_correction_jnp(p, p, m, f, c, cfg))(
+                    ps, ms, bd.span_first, bd.span_count
+                ),
+            ),
+        }
+
+    r256 = one_geometry(SimConfig(n=50_000, use_pallas=True))
+    r128 = one_geometry(SimConfig(n=50_000, use_pallas=True,
+                                  force_tile=128, near_cap=60))
+    out = {f"selfcheck_{k}": v for k, v in r256.items()}
+    out.update({f"selfcheck_{k}_t128": v for k, v in r128.items()})
     return out
 
 
@@ -226,23 +240,36 @@ def main():
     except Exception as e:
         print(f"[bench] flop accounting failed: {e}", file=sys.stderr)
 
-    # physics: energy drift over >= 100 further steps (KE + softened PE).
-    # Reuses the frames-sized compiled scan (a fresh 100-step scan would
-    # cost two more multi-minute 1M compiles through the relay).
+    # physics: energy drift over >= 1000 further steps (KE + softened PE —
+    # the BASELINE.json criterion is over a kilostep, and drift_100-style
+    # numbers under-report the late-time dense-core behavior ~50x, PERF.md).
+    # Reuses the frames-sized compiled scan (a fresh scan shape would cost
+    # more multi-minute 1M compiles through the relay).  The LAST window is
+    # timed separately: the reference bench runs 1000 evolving frames
+    # (nbody_v5_bench.cu:353), so a parity claim needs the HOT-state rate
+    # (contracted core) next to the near-IC headline.
+    drift_target = int(os.environ.get("NBODY_BENCH_DRIFT_STEPS", 1000))
     if not os.environ.get("NBODY_BENCH_SKIP_DRIFT"):
         try:
-            reps = -(-100 // frames)
+            reps = -(-drift_target // frames)
             n_drift = reps * frames
             e0 = float(metrics.total_energy(state, cfg))
             state2 = state
-            for _ in range(reps):
+            for i in range(reps):
+                if i == reps - 1:
+                    _sync(state2)
+                    t0 = time.perf_counter()
                 state2 = sim.run_scan(state2, frames)
             _sync(state2)
+            hot = (time.perf_counter() - t0) / frames
             e1 = float(metrics.total_energy(state2, cfg))
             extra["drift"] = round(metrics.energy_drift(e0, e1), 6)
             extra["drift_steps"] = n_drift
+            extra["value_hot"] = round(1.0 / hot, 3)
             print(f"[bench] E0={e0:.6e} E1={e1:.6e} "
                   f"drift_{n_drift}={extra['drift']}", file=sys.stderr)
+            print(f"[bench] hot-state step (after {n_drift - frames} steps): "
+                  f"{hot*1e3:.2f} ms  ({1.0/hot:.2f} steps/s)", file=sys.stderr)
         except Exception as e:
             print(f"[bench] drift measurement failed: {e}", file=sys.stderr)
 
@@ -258,10 +285,38 @@ def main():
 
     print(f"[bench] KE: {float(metrics.kinetic_energy(state)):.4e}", file=sys.stderr)
 
-    # No published reference numbers exist (BASELINE.md).  Conservative
-    # estimate for the CUDA v5_bench full step at N=1M on the named sm_75
-    # class hardware: ~100 ms/step (serial O(N) bbox kernel + 152 MB memset
-    # + ~977 insert launches + traversal) => 10 steps/s.
+    # No published reference numbers exist (BASELINE.md).  The 10 steps/s
+    # bar is a phase-by-phase cost model of the nbody_v5_bench.cu
+    # simulationStep (:255-283) at N=1M on sm_75-class hardware (~1.4 GHz,
+    # ~448 GB/s, ~6 GB L2-ineligible working set), kept DELIBERATELY
+    # GENEROUS to the reference (each phase at its optimistic end):
+    #   bbox      computeBoundingBoxKernel<<<1,1>>> — ONE CUDA thread loops
+    #             N iters of 3 loads + 6 fmin/fmax (:145-156); serial
+    #             dependent iteration ~4-10 ns  ->  4-10 ms
+    #   morton+sort  N-thread encode + thrust::sort_by_key on u32 keys
+    #             (~0.5-1 G keys/s on sm_75)    ->  1-2 ms
+    #   memset    2N nodes x 76 B (OctreeNode :20-28) = 152 MB at ~400 GB/s
+    #                                             ->  0.4 ms
+    #   insert    ceil(N/1024) = 977 SEQUENTIAL 1024-thread launches
+    #             (:271-275), each a ~log8(N)~7-10-level atomicCAS descent
+    #             of dependent global accesses (~300-400 ns each): per
+    #             batch max(launch ~3-5 us, ~10 x 0.35 us) and the batches
+    #             serialize                      ->  977 x (3.5..8) us
+    #                                                = 3.5-8 ms + contention
+    #   COM       computeCOMKernel: every particle atomicAdd's 4 floats on
+    #             EVERY ancestor (:158-173): ~10 levels x 4 x N = 40M
+    #             contended atomics (root-adjacent nodes see ~N/8^k
+    #             collisions)                    ->  10-30 ms
+    #   force     per-particle 64-deep stack DFS (:215-249): at theta=0.5
+    #             ~200-500 visited nodes/body, each a divergent 28-76 B
+    #             gather from the 152 MB pool => ~0.2-0.5 G visits at ~15-50
+    #             GB/s effective random-gather bandwidth  ->  30-80 ms
+    #   integrate bandwidth-trivial              ->  0.3 ms
+    # Optimistic-end sum ~50 ms, pessimistic ~130 ms; center ~100 ms/step
+    # => 10 steps/s.  (For scale: published GPU Barnes-Hut treecodes of
+    # that hardware class sustain ~2-5 M bodies/s for the force phase
+    # alone, i.e. 200-500 ms/step at 1M — the bar above credits the
+    # reference with ~2-4x that throughput.)
     baseline_steps_per_sec = 10.0
     out = {
         "metric": "bh_steps_per_sec_1M_theta0.5" if n == 1_000_000 else f"bh_steps_per_sec_{n}_theta0.5",
