@@ -40,17 +40,21 @@ def band_flops(cfg, bands, n_pad, s_used):
     VPU actually executes).  All three kernels skip dead chunks, so the
     executed counts are chunk-rounded live counts."""
     import jax.numpy as jnp
-    from nbody_tpu.ops.pallas.forces import KSEG, WSPAN, LC
+    from nbody_tpu.ops.pallas.forces import KSEG, WSPAN, SB
 
-    far = 18 * n_pad * (-(-s_used // LC) * LC)
-    # mid: per-target ceil(live rows / LC) chunks
+    # far/mid sweeps gate compute per SB-wide quarter-slice of each chunk
+    far = 18 * n_pad * (-(-s_used // SB) * SB)
     row_cnt = cfg.near_cap + 9 * (bands.sup_cnt + bands.mid_cnt + bands.cmid_cnt)
-    mid_chunks = int(jnp.sum(-(-row_cnt // LC)))
-    mid = 18 * cfg.force_tile * mid_chunks * LC
-    # near kernel: ceil(span_cnt / KSEG) segments of KSEG windows each
-    segs = int(jnp.sum((bands.span_cnt + KSEG - 1) // KSEG))
+    mid_slices = int(jnp.sum(-(-row_cnt // SB)))
+    mid = 18 * cfg.force_tile * mid_slices * SB
+    # near kernel: ceil(win_cnt / KSEG) segments of KSEG windows each;
+    # useful lanes = set bits of the per-window validity masks
+    from jax import lax as _lax
+
+    segs = int(jnp.sum((bands.win_cnt + KSEG - 1) // KSEG))
     near = 18 * segs * KSEG * WSPAN * cfg.force_tile
-    useful_near = 18 * int(jnp.sum(bands.span_count)) * cfg.force_tile
+    live_lanes = int(jnp.sum(_lax.population_count(bands.win_mask)))
+    useful_near = 18 * live_lanes * cfg.force_tile
     useful_rows = 9 * (
         int(jnp.sum(bands.sup_cnt)) + int(jnp.sum(bands.mid_cnt))
         + int(jnp.sum(bands.cmid_cnt))
@@ -102,11 +106,11 @@ def selfcheck(on_tpu: bool):
                 jax.jit(lambda p, t: forces.table_sweep_jnp(p, t, cfg))(ps, tab),
             ),
             "near": rel(
-                jax.jit(lambda p, m, f, c, n: near_span_pallas(p, p, m, f, c, n, cfg))(
-                    ps, ms, bd.span_first, bd.span_count, bd.span_cnt
+                jax.jit(lambda p, m, f, w, n: near_span_pallas(p, p, m, f, w, n, cfg))(
+                    ps, ms, bd.win_first, bd.win_mask, bd.win_cnt
                 ),
-                jax.jit(lambda p, m, f, c: forces.near_correction_jnp(p, p, m, f, c, cfg))(
-                    ps, ms, bd.span_first, bd.span_count
+                jax.jit(lambda p, m, f, w: forces.near_correction_jnp(p, p, m, f, w, cfg))(
+                    ps, ms, bd.win_first, bd.win_mask
                 ),
             ),
         }
@@ -228,12 +232,15 @@ def main():
             | bands.cmid_overflow | bands.near_overflow
         )
         extra["overflow_cells"] = bool(cells.overflow)
+        # graceful grandchild-cap overflow (affected children take exact
+        # P2P — perf effect, never missing/approximated mass beyond theta)
+        extra["overflow_g2_graceful"] = bool(cells.overflow_g2)
         extra["overflow"] = extra["overflow_bands"] or extra["overflow_cells"]
         print(f"[bench] bands: sup={float(jnp.mean(bands.sup_cnt)):.1f} "
               f"mid={float(jnp.mean(bands.mid_cnt)):.1f} "
               f"cmid={float(jnp.mean(bands.cmid_cnt)):.1f} "
               f"near={float(jnp.mean(bands.near_cnt)):.1f} "
-              f"spans={float(jnp.mean(bands.span_cnt)):.1f} "
+              f"wins={float(jnp.mean(bands.win_cnt)):.1f} "
               f"n_cells={int(cells.n_cells)} "
               f"overflow=bands:{extra['overflow_bands']}/cells:{extra['overflow_cells']}",
               file=sys.stderr)

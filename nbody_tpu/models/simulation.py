@@ -445,15 +445,26 @@ class Simulation:
                 self.cfg.cell_capacity, lo, size,
                 g2_factor=self.cfg.g2_cap_factor,
             )
-            return cells.overflow, cells.n_cells
+            return cells.overflow, cells.overflow_g2, cells.n_cells
 
-        over, n_cells = jax.jit(probe)(state.pos, state.mass)
+        over, over_g2, n_cells = jax.jit(probe)(state.pos, state.mass)
         if bool(over):
             warnings.warn(
                 f"adaptive-cell capacity overflow: n_cells={int(n_cells)} > "
                 f"cell_capacity={self.cfg.cell_capacity}; truncated cells' "
                 "mass is MISSING from all forces — raise cfg.cell_cap_factor "
                 f"(now {self.cfg.cell_cap_factor})",
+                RuntimeWarning, stacklevel=3,
+            )
+        elif bool(over_g2):
+            # graceful: affected children lose grandchild refinement and
+            # take the exact P2P path (cells.gchild_complete) — a perf
+            # effect only, surfaced for tuning, never missing mass
+            warnings.warn(
+                "grandchild-segment cap overflow (graceful): some children "
+                "take exact P2P instead of grandchild monopoles — raise "
+                f"cfg.g2_cap_factor (now {self.cfg.g2_cap_factor}) to "
+                "restore the cmid refinement for them",
                 RuntimeWarning, stacklevel=3,
             )
 

@@ -77,8 +77,16 @@ class SourceCells(NamedTuple):
     n_cells: jax.Array      # [] int32 actual cell count
     n_child: jax.Array      # [] int32 actual child-segment count
     n_g2: jax.Array         # [] int32 actual grandchild-segment count
-    overflow: jax.Array     # [] bool — cut larger than Gc (or the child/
-                            # grandchild caps)
+    overflow: jax.Array     # [] bool — cut larger than Gc or the child
+                            # cap: truncated segments' mass is MISSING
+                            # from every band (loud failure).  (The child
+                            # cap is structurally unreachable: c_cap =
+                            # 8 * g_cap and every cell has <= 8 children.)
+    overflow_g2: jax.Array  # [] bool — grandchild segments exceed the c2
+                            # cap: GRACEFUL — affected children carry
+                            # gchild_complete=False and take the exact
+                            # P2P path (a perf effect, never missing
+                            # mass)
 
 
 def _seg_scan_minmax(x: jax.Array, boundary: jax.Array):
@@ -224,7 +232,8 @@ def build_source_cells(
     # average ~2-4 live grandchildren per child, and every array below
     # this cap costs gather traffic per rebuild — overflow is flagged
     c2_cap = min(g2_factor, 8) * c_cap
-    overflow = (n_cells > g_cap) | (n_child > c_cap) | (n_g2 > c2_cap)
+    overflow = (n_cells > g_cap) | (n_child > c_cap)
+    overflow_g2 = n_g2 > c2_cap
 
     # --- compact segment starts (sort beats scatter ~6x on TPU) ---
     big = jnp.iinfo(jnp.int32).max
@@ -403,4 +412,5 @@ def build_source_cells(
         n_child=n_child,
         n_g2=n_g2,
         overflow=overflow,
+        overflow_g2=overflow_g2,
     )

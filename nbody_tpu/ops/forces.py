@@ -304,9 +304,13 @@ class CellBands(NamedTuple):
           grandchild monopoles);
     near: children whose grandchildren still fail — exact P2P, kept both
           as child ids (for the anti-monopole table rows) and as
-          contiguous particle spans (the P2P kernel's unit of work; each
-          span lies inside one aligned SPAN_ALIGN window: child spans are
-          split at window boundaries and coalesced within windows).
+          DEDUPLICATED aligned source WINDOWS (the P2P kernel's unit of
+          work): each near child's contiguous particle run is split at
+          SPAN_ALIGN boundaries into (window, 128-bit lane mask) pieces,
+          and all pieces landing in the same window are OR-merged — one
+          DMA + one masked panel per DISTINCT window, regardless of how
+          many disjoint child runs it holds (runs are disjoint particle
+          ranges, so the mask OR never double-counts a lane).
     """
 
     sup_idx: jax.Array    # [T, sup_cap] int32 super ids (pad: n_sup)
@@ -317,11 +321,13 @@ class CellBands(NamedTuple):
     cmid_cnt: jax.Array
     near_idx: jax.Array   # [T, near_cap] int32 child ids (pad: 8*g_cap)
     near_cnt: jax.Array
-    span_first: jax.Array # [T, 2*near_cap] int32 particle starts (pad: 0);
-                          # every span lies inside ONE aligned SPAN_ALIGN
-                          # window (boundary split + window-local merge)
-    span_count: jax.Array # [T, 2*near_cap] int32 lengths (<= SPAN_ALIGN)
-    span_cnt: jax.Array   # [T] int32 span count
+    win_first: jax.Array  # [T, 2*near_cap] int32 SPAN_ALIGN-aligned
+                          # window starts in the sorted order, distinct
+                          # per target, live-prefix packed (pad: 0)
+    win_mask: jax.Array   # [T, 4, 2*near_cap] int32 — 128-bit lane
+                          # validity mask per window (word w covers lanes
+                          # [32w, 32w+32); pad windows are all-zero)
+    win_cnt: jax.Array    # [T] int32 live window count
     sup_overflow: jax.Array
     mid_overflow: jax.Array
     cmid_overflow: jax.Array
@@ -342,46 +348,62 @@ def _row_compact_one(key, big, cap):
     return idx, cnt
 
 
-def _merge_spans(f, c, limit, passes=3, align=None):
-    """Coalesce strictly adjacent spans into wider ones bounded by `limit`.
+def _lowmask(k):
+    """int32 with the low `k` bits set (k in [0, 32], vectorized)."""
+    shifted = (jnp.int32(1) << jnp.clip(k, 0, 31).astype(_I32)) - 1
+    return jnp.where(k >= 32, jnp.int32(-1), shifted)
 
-    f, c: [R, K] int32 span (first, count) rows, valid spans first and
-    ascending, invalid entries c == 0.  Merging never drops a span, so the
-    merged list stays consistent with the anti-row list it was derived
-    from (a dropped pair would lose exact P2P while keeping the anti-row).
-    Each pass merges pairs then re-packs rows; `passes` passes coalesce
-    runs of up to 2^passes sibling spans — enough, since `limit` caps
-    real merges well before that.  With `align` set, a merge never
-    crosses an `align` boundary of the source index space (so spans that
-    start inside one aligned window stay inside it).
+
+def _window_masks(first, count):
+    """Convert spans to deduplicated (aligned window, 128-bit mask) pairs.
+
+    first, count: [R, K] int32 spans, each lying inside ONE aligned
+    SPAN_ALIGN-wide window (callers split at window boundaries first);
+    invalid entries count == 0.  Returns (win_first [R, K] aligned starts,
+    win_mask [R, 4, K] lane-validity words, win_cnt [R]) with live windows
+    packed first and DISTINCT per row: spans sharing a window OR their
+    masks into one entry.  Spans are disjoint particle ranges, so the OR
+    never double-counts a lane, and no window is ever dropped (a dropped
+    one would lose exact P2P while keeping its anti-row).
     """
     big = jnp.iinfo(jnp.int32).max // 2 * 2
-    r, k0 = f.shape
-    k = k0
-    if k % 2:
-        f = jnp.pad(f, ((0, 0), (0, 1)))
-        c = jnp.pad(c, ((0, 0), (0, 1)))
-        k += 1
-    # sort FIRST each pass (packs valid ascending, so callers may pass
-    # unpacked input), then merge even/odd pairs
-    for _ in range(passes):
-        key = jnp.where(c > 0, f, big)
-        _, f, c = lax.sort((key, f, c), dimension=1, num_keys=1)
-        fe, ce = f[:, 0::2], c[:, 0::2]
-        fo, co = f[:, 1::2], c[:, 1::2]
-        can = (ce > 0) & (co > 0) & (fo == fe + ce) & (ce + co <= limit)
-        if align is not None:
-            can = can & (lax.rem(fe, align) + ce + co <= align)
-        ce = jnp.where(can, ce + co, ce)
-        co = jnp.where(can, 0, co)
-        f = jnp.stack([fe, fo], axis=2).reshape(r, k)
-        c = jnp.stack([ce, co], axis=2).reshape(r, k)
-    key = jnp.where(c > 0, f, big)
-    _, f, c = lax.sort((key, f, c), dimension=1, num_keys=1)
-    f = jnp.where(c > 0, f, 0)
-    # valid entries are packed first and merging never increases their
-    # count, so trimming the alignment pad cannot drop a span
-    return f[:, :k0], c[:, :k0]
+    w = first // SPAN_ALIGN
+    off = lax.rem(first, SPAN_ALIGN)
+    end = off + count
+    words = tuple(
+        _lowmask(end - 32 * j) & ~_lowmask(off - 32 * j) for j in range(4)
+    )
+    words = tuple(jnp.where(count > 0, m, 0) for m in words)
+    key = jnp.where(count > 0, w, big)
+    key, m0, m1, m2, m3 = lax.sort((key, *words), dimension=1, num_keys=1)
+    # segmented OR over equal-key runs; the run's LAST entry accumulates
+    # the full mask, then a second sort packs the kept entries first
+    bnd = jnp.concatenate(
+        [jnp.ones_like(key[:, :1], bool), key[:, 1:] != key[:, :-1]], axis=1
+    )
+
+    def comb(a, b):
+        fa, fb = a[0], b[0]
+        rest = tuple(
+            jnp.where(fb, xb, xa | xb) for xa, xb in zip(a[1:], b[1:])
+        )
+        return (fa | fb,) + rest
+
+    _, m0, m1, m2, m3 = lax.associative_scan(
+        comb, (bnd, m0, m1, m2, m3), axis=1
+    )
+    last = jnp.concatenate(
+        [key[:, :-1] != key[:, 1:], jnp.ones_like(key[:, :1], bool)], axis=1
+    )
+    keep = jnp.where(last & (key < big), key, big)
+    keep, m0, m1, m2, m3 = lax.sort((keep, m0, m1, m2, m3), dimension=1,
+                                    num_keys=1)
+    live = keep < big
+    win_first = jnp.where(live, keep * SPAN_ALIGN, 0)
+    win_mask = jnp.stack(
+        [jnp.where(live, m, 0) for m in (m0, m1, m2, m3)], axis=1
+    )
+    return win_first, win_mask, jnp.sum(live.astype(_I32), axis=1)
 
 
 def _row_compact_two(key_lo, key_hi, big, cap_lo, cap_hi):
@@ -420,7 +442,8 @@ def cell_band_lists(
     candidate cells of those supers; failing cells are listed (mid).
     Stage 3 tests the failing cells' 8 children each: a failing child is
     refined to its grandchild monopoles if those pass (cmid) or marked for
-    exact P2P (near); near child spans are then coalesced (_merge_spans).
+    exact P2P (near); near child runs are then converted to deduplicated
+    aligned windows with lane masks (_window_masks).
 
     `skin` is a conservative UNIFORM margin for band REUSE across steps;
     per-entity skins (cells.skin / child_skin / supers.skin / the target
@@ -570,12 +593,12 @@ def cell_band_lists(
         key_n = jnp.where(near_m, kid_id + big // 2, big)
         ci, cc, ni, nc = _row_compact_two(key_c, key_n, big, cmid_cap, near_cap)
 
-        # near spans: child (first, count) SPLIT at SPAN_ALIGN boundaries
-        # (so every span lies inside one aligned window — the P2P kernel
-        # DMAs exactly that window with zero alignment slack), then
-        # coalesced within each window.  2*near_cap slots hold the worst
-        # case of two pieces per child, so no piece is ever dropped (a
-        # dropped piece would lose exact P2P while keeping the anti-row).
+        # near windows: child (first, count) runs SPLIT at SPAN_ALIGN
+        # boundaries (2*near_cap slots hold the worst case of two pieces
+        # per child, so no piece is ever dropped — a dropped piece would
+        # lose exact P2P while keeping the anti-row), then converted to
+        # per-window 128-bit lane masks with same-window pieces OR-merged:
+        # the P2P kernel DMAs each DISTINCT window once.
         ni_safe = jnp.minimum(ni, k_cap)
         sf = cf_flat[ni_safe]
         scnt = cc_flat[ni_safe]
@@ -583,16 +606,14 @@ def cell_band_lists(
         c1 = jnp.minimum(scnt, room)
         f_all = jnp.concatenate([sf, sf + c1], axis=1)
         c_all = jnp.concatenate([c1, scnt - c1], axis=1)
-        # _merge_spans sorts first, so the unpacked two-piece layout is fine
-        sf, scnt = _merge_spans(f_all, c_all, SPAN_ALIGN, align=SPAN_ALIGN)
-        span_cnt = jnp.sum((scnt > 0).astype(_I32), axis=1)
+        wf, wm, win_cnt = _window_masks(f_all, c_all)
 
         return (
             jnp.minimum(sup_idx, n_sup), jnp.minimum(sup_cnt, s_cap),
             jnp.minimum(mid_idx, g_cap), jnp.minimum(mc_raw, mid_cap),
             jnp.minimum(ci, k_cap), jnp.minimum(cc, cmid_cap),
             ni_safe, jnp.minimum(nc, near_cap),
-            sf, scnt, span_cnt,
+            wf, wm, win_cnt,
             jnp.any(real & (sup_cnt > s_cap)),
             jnp.any(real & (mc_raw > mid_cap)),
             jnp.any(real & (cc > cmid_cap)),
@@ -616,9 +637,9 @@ def cell_band_lists(
         cmid_cnt=cc.reshape(t_pad)[:t],
         near_idx=ni.reshape(t_pad, near_cap)[:t],
         near_cnt=nc.reshape(t_pad)[:t],
-        span_first=sf.reshape(t_pad, 2 * near_cap)[:t],
-        span_count=scnt.reshape(t_pad, 2 * near_cap)[:t],
-        span_cnt=spc.reshape(t_pad)[:t],
+        win_first=sf.reshape(t_pad, 2 * near_cap)[:t],
+        win_mask=scnt.reshape(t_pad, 4, 2 * near_cap)[:t],
+        win_cnt=spc.reshape(t_pad)[:t],
         sup_overflow=jnp.any(so),
         mid_overflow=jnp.any(mo),
         cmid_overflow=jnp.any(co),
@@ -779,38 +800,42 @@ def far_sweep_jnp(pos_s: jax.Array, supers: Supers, cfg: SimConfig) -> jax.Array
 
 def near_correction_jnp(
     tgt_pos: jax.Array, src_pos: jax.Array, src_mass: jax.Array,
-    span_first: jax.Array, span_count: jax.Array, cfg: SimConfig,
+    win_first: jax.Array, win_mask: jax.Array, cfg: SimConfig,
 ) -> jax.Array:
-    """Exact P2P against every merged near span (jnp twin of the Pallas
-    kernel; gathers — CPU/tests only).  The matching anti-child monopole
-    rows live in the band tables, so this band is pure particle-particle
-    work.
+    """Exact P2P against every deduplicated near window (jnp twin of the
+    Pallas kernel; gathers — CPU/tests only).  The matching anti-child
+    monopole rows live in the band tables, so this band is pure
+    particle-particle work.
 
     Targets may be a slab of the global sorted order (multi-chip); the
-    source particle arrays and spans are always global.
+    source particle arrays and windows are always global.  win_mask
+    [T, 4, W] carries each window's 128-bit lane-validity mask.
     """
     b = cfg.force_tile
     n = tgt_pos.shape[0]
     n_src = src_pos.shape[0]
     soft = soft_term(cfg)
     tp3 = tgt_pos.reshape(-1, b, 3)
-    lane = jnp.arange(b, dtype=_I32)[None, :]
+    lane = jnp.arange(SPAN_ALIGN, dtype=_I32)[None, :]   # [1, 128]
+    word_ix = lane[0] // 32                              # [128]
+    bit_ix = lane[0] % 32
 
-    # live spans are PACKED FIRST (cell_band_lists/_merge_spans), so work
-    # through them in CH-span chunks and stop at the live count — the
-    # padded tail of the static span cap costs nothing (mirrors the Pallas
+    # live windows are PACKED FIRST (cell_band_lists/_window_masks), so
+    # work through them in CH-window chunks and stop at the live count —
+    # the padded tail of the static cap costs nothing (mirrors the Pallas
     # kernel's ceil(cnt/KSEG) segment loop)
-    k_cap = span_first.shape[1]
+    k_cap = win_first.shape[1]
     ch = min(32, k_cap)
     n_chunks = -(-k_cap // ch)
     pad = n_chunks * ch - k_cap
 
     def one(args):
-        pb, f, c = args                      # [B,3], [K], [K]
+        pb, f, m4 = args                     # [B,3], [W], [4, W]
         if pad:
             f = jnp.pad(f, (0, pad))
-            c = jnp.pad(c, (0, pad))
-        cnt = jnp.sum((c > 0).astype(_I32))
+            m4 = jnp.pad(m4, ((0, 0), (0, pad)))
+        live = (m4[0] | m4[1] | m4[2] | m4[3]) != 0
+        cnt = jnp.sum(live.astype(_I32))
 
         def cond(s):
             i, _ = s
@@ -819,9 +844,10 @@ def near_correction_jnp(
         def body(s):
             i, acc = s
             fs = lax.dynamic_slice(f, (i * ch,), (ch,))
-            cs = lax.dynamic_slice(c, (i * ch,), (ch,))
-            pick = jnp.clip(fs[:, None] + lane, 0, n_src - 1)   # [ch, B]
-            ok = lane < cs[:, None]
+            ms = lax.dynamic_slice(m4, (0, i * ch), (4, ch))     # [4, ch]
+            pick = jnp.clip(fs[:, None] + lane, 0, n_src - 1)    # [ch, 128]
+            word = ms.T[:, word_ix]                              # [ch, 128]
+            ok = ((word >> bit_ix[None, :]) & 1) == 1
             q = src_pos[pick].reshape(-1, 3)
             qm = jnp.where(ok, src_mass[pick], 0.0).reshape(-1)
             return i + 1, acc + _panel_accel(pb, q, qm, cfg.g, soft)
@@ -829,7 +855,7 @@ def near_correction_jnp(
         _, acc = lax.while_loop(cond, body, (jnp.int32(0), jnp.zeros((b, 3), jnp.float32)))
         return acc
 
-    acc = lax.map(one, (tp3, span_first, span_count))
+    acc = lax.map(one, (tp3, win_first, win_mask))
     return acc.reshape(n, 3)
 
 
@@ -932,8 +958,8 @@ def apply_near(
 
         return near_span_pallas(
             pos_s, src_pos, src_mass,
-            bands.span_first, bands.span_count, bands.span_cnt, cfg,
+            bands.win_first, bands.win_mask, bands.win_cnt, cfg,
         )
     return near_correction_jnp(
-        pos_s, src_pos, src_mass, bands.span_first, bands.span_count, cfg
+        pos_s, src_pos, src_mass, bands.win_first, bands.win_mask, cfg
     )

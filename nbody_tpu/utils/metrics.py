@@ -106,11 +106,12 @@ def bh_diagnostics(state: ParticleState, cfg: SimConfig) -> Dict[str, float]:
         "n_supers": int(supers.n_supers),
         "cell_capacity": int(cfg.cell_capacity),
         "cell_overflow": bool(cells.overflow),
+        "g2_overflow": bool(cells.overflow_g2),
         "sup_mean": float(jnp.mean(bands.sup_cnt)),
         "mid_mean": float(jnp.mean(bands.mid_cnt)),
         "cmid_mean": float(jnp.mean(bands.cmid_cnt)),
         "near_mean": float(jnp.mean(bands.near_cnt)),
-        "span_mean": float(jnp.mean(bands.span_cnt)),
+        "win_mean": float(jnp.mean(bands.win_cnt)),
         "sup_overflow": bool(bands.sup_overflow),
         "mid_overflow": bool(bands.mid_overflow),
         "cmid_overflow": bool(bands.cmid_overflow),

@@ -122,8 +122,8 @@ def phase_times(
     else:
         far_fn = forces.far_sweep_jnp
         mid_fn = forces.table_sweep_jnp
-        near_fn = lambda tp, sp, sm, sf, sc, scnt, c: forces.near_correction_jnp(
-            tp, sp, sm, sf, sc, c
+        near_fn = lambda tp, sp, sm, wf, wm, wcnt, c: forces.near_correction_jnp(
+            tp, sp, sm, wf, wm, c
         )
 
     @jax.jit
@@ -135,12 +135,12 @@ def phase_times(
         return mid_fn(pos_p, mid_tab, cfg)
 
     @jax.jit
-    def ph_near(pos_p, mass_p, span_first, span_count, span_cnt):
-        return near_fn(pos_p, pos_p, mass_p, span_first, span_count, span_cnt, cfg)
+    def ph_near(pos_p, mass_p, win_first, win_mask, win_cnt):
+        return near_fn(pos_p, pos_p, mass_p, win_first, win_mask, win_cnt, cfg)
 
     acc_s = jax.block_until_ready(
         ph_far(pos_p, supers) + ph_mid(pos_p, mid_tab)
-        + ph_near(pos_p, mass_p, bands.span_first, bands.span_count, bands.span_cnt)
+        + ph_near(pos_p, mass_p, bands.win_first, bands.win_mask, bands.win_cnt)
     )[: pos.shape[0]]
 
     @jax.jit
@@ -152,7 +152,7 @@ def phase_times(
         "groups_ms": time_fn(ph_groups, pos_p, mass_p, codes_p, iters=iters)["median_ms"],
         "far_ms": time_fn(ph_far, pos_p, supers, iters=iters)["median_ms"],
         "mid_ms": time_fn(ph_mid, pos_p, mid_tab, iters=iters)["median_ms"],
-        "near_ms": time_fn(ph_near, pos_p, mass_p, bands.span_first, bands.span_count, bands.span_cnt, iters=iters)["median_ms"],
+        "near_ms": time_fn(ph_near, pos_p, mass_p, bands.win_first, bands.win_mask, bands.win_cnt, iters=iters)["median_ms"],
         "integrate_ms": time_fn(ph_integrate, state, acc_s, iters=iters)["median_ms"],
     }
     if include_tree:

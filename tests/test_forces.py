@@ -165,8 +165,8 @@ def test_cell_band_partition_against_numpy(skin):
     mi, mc = np.asarray(bands.mid_idx), np.asarray(bands.mid_cnt)
     ci, cc = np.asarray(bands.cmid_idx), np.asarray(bands.cmid_cnt)
     ni, nc = np.asarray(bands.near_idx), np.asarray(bands.near_cnt)
-    spf, spc = np.asarray(bands.span_first), np.asarray(bands.span_count)
-    spn = np.asarray(bands.span_cnt)
+    wf, wm = np.asarray(bands.win_first), np.asarray(bands.win_mask)
+    wn = np.asarray(bands.win_cnt)
     for ti in range(t):
         dist1 = np.sqrt(min_gap(sup_com, ctr[ti], rad[ti]) ** 2 + soft)
         fail1 = (sup_diam + skin) / dist1 >= th
@@ -205,22 +205,30 @@ def test_cell_band_partition_against_numpy(skin):
                     want_near.add(8 * g + j)
         assert set(ci[ti, : cc[ti]]) == want_cmid
         assert set(ni[ti, : nc[ti]]) == want_near
-        # merged spans == union of near-child particle indices, no overlap
+        # masked windows == union of near-child particle indices, each
+        # lane exactly once, windows distinct and aligned
         want_pts = set()
         for k in want_near:
             g, j = divmod(k, 8)
             want_pts |= set(range(k_first[g, j], k_first[g, j] + k_count[g, j]))
         got_pts = []
-        for k in range(spn[ti]):
-            assert spc[ti, k] > 0
-            assert spc[ti, k] <= forces.SPAN_ALIGN
-            # span lies inside ONE aligned window (near-kernel invariant)
-            assert (spf[ti, k] // forces.SPAN_ALIGN
-                    == (spf[ti, k] + spc[ti, k] - 1) // forces.SPAN_ALIGN)
-            got_pts.extend(range(spf[ti, k], spf[ti, k] + spc[ti, k]))
-        assert len(got_pts) == len(set(got_pts))  # disjoint spans
+        seen_wins = set()
+        for k in range(wn[ti]):
+            first = int(wf[ti, k])
+            assert first % forces.SPAN_ALIGN == 0   # aligned start
+            assert first not in seen_wins           # deduplicated
+            seen_wins.add(first)
+            any_bit = False
+            for w in range(4):
+                word = int(wm[ti, w, k]) & 0xFFFFFFFF
+                for bit in range(32):
+                    if (word >> bit) & 1:
+                        got_pts.append(first + 32 * w + bit)
+                        any_bit = True
+            assert any_bit                          # live window
+        assert len(got_pts) == len(set(got_pts))    # disjoint masks
         assert set(got_pts) == want_pts
-        assert np.all(spc[ti, spn[ti]:] == 0)
+        assert np.all(wm[ti, :, wn[ti]:] == 0)      # dead tail zeroed
 
 
 def test_cell_tables_telescoping():
@@ -294,7 +302,7 @@ def test_band_sum_equals_full_decomposition():
     mid = np.asarray(forces.table_sweep_jnp(pos_s, tab, cfg))
     corr = np.asarray(
         forces.near_correction_jnp(
-            pos_s, pos_s, mass_s, bands.span_first, bands.span_count, cfg
+            pos_s, pos_s, mass_s, bands.win_first, bands.win_mask, cfg
         )
     )
     total = np.asarray(forces.bh_forces_grouped(pos_s, mass_s, codes_s, cfg))
@@ -323,11 +331,11 @@ def test_pallas_matches_jnp_far_mid_near():
     np.testing.assert_allclose(np.asarray(m_pal), np.asarray(m_jnp), rtol=2e-5, atol=2e-4)
 
     c_jnp = forces.near_correction_jnp(
-        pos_s, pos_s, mass_s, bands.span_first, bands.span_count, cfg
+        pos_s, pos_s, mass_s, bands.win_first, bands.win_mask, cfg
     )
     c_pal = near_span_pallas(
         pos_s, pos_s, mass_s,
-        bands.span_first, bands.span_count, bands.span_cnt, cfg,
+        bands.win_first, bands.win_mask, bands.win_cnt, cfg,
     )
     np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_jnp), rtol=2e-5, atol=2e-4)
 
@@ -370,8 +378,11 @@ def test_g2_cap_overflow_is_graceful():
         codes_p, pos_p, mass_p, cfg.force_tile, cfg.g, cfg.cell_capacity,
         box_lo, box_size, g2_factor=cfg.g2_cap_factor,
     )
-    # the scenario must actually overflow the c2 cap, else this test is vacuous
-    assert bool(cells.overflow)
+    # the scenario must actually overflow the c2 cap, else this test is
+    # vacuous (g2 overflow is the GRACEFUL flag, distinct from the
+    # missing-mass cell/child overflow)
+    assert bool(cells.overflow_g2)
+    assert not bool(cells.overflow)
     assert not bool(np.all(np.asarray(cells.gchild_complete)))
 
     acc_grp = np.asarray(

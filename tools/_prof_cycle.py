@@ -41,7 +41,7 @@ for label, dr in [("unskinned", drift_0), (f"skin(K={k})", drift_k)]:
     print(f"{label:12s} build {tb['median_ms']:8.1f} ms  apply {ta['median_ms']:7.1f} ms  "
           f"sup={float(jnp.mean(bands.sup_cnt)):.0f} mid={float(jnp.mean(bands.mid_cnt)):.0f} "
           f"cmid={float(jnp.mean(bands.cmid_cnt)):.0f} near={float(jnp.mean(bands.near_cnt)):.0f} "
-          f"spans={float(jnp.mean(bands.span_cnt)):.0f}", flush=True)
+          f"wins={float(jnp.mean(bands.win_cnt)):.0f}", flush=True)
 
 # full inner-step (apply+integrate) scanned x k, amortized — the true inner cost
 cells, supers, bands, tables = jax.jit(

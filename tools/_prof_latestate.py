@@ -53,12 +53,12 @@ for k in (1, 8, 16, 32):
           f"mid {mean(bands.mid_cnt):6.1f}/{mx(bands.mid_cnt):4d} "
           f"cmid {mean(bands.cmid_cnt):6.1f}/{mx(bands.cmid_cnt):4d} "
           f"near {mean(bands.near_cnt):6.1f}/{mx(bands.near_cnt):4d} "
-          f"spans {mean(bands.span_cnt):6.1f}/{mx(bands.span_cnt):4d} "
+          f"wins {mean(bands.win_cnt):6.1f}/{mx(bands.win_cnt):4d} "
           f"over: s={bool(bands.sup_overflow)} m={bool(bands.mid_overflow)} "
           f"c={bool(bands.cmid_overflow)} n={bool(bands.near_overflow)}",
           flush=True)
     # fraction of targets at the near cap (the graceful-degradation tail)
     t_at_cap = float(jnp.mean((bands.near_cnt >= cfg.near_cap).astype(jnp.float32)))
-    s_at_cap = float(jnp.mean((bands.span_cnt >= bands.span_first.shape[1]).astype(jnp.float32)))
-    print(f"      targets at near cap: {t_at_cap:.3%}  at span cap: {s_at_cap:.3%}",
+    s_at_cap = float(jnp.mean((bands.win_cnt >= bands.win_first.shape[1]).astype(jnp.float32)))
+    print(f"      targets at near cap: {t_at_cap:.3%}  at window cap: {s_at_cap:.3%}",
           flush=True)

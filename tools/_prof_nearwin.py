@@ -1,12 +1,12 @@
-"""Near-band window fragmentation stats at a bench-like state.
+"""Near-band window occupancy stats at a bench-like state.
 
-The near P2P kernel fetches one aligned 128-wide window per SPAN and
-masks dead lanes; executed near flops = span_cnt * 128 * B * 18.  This
-tool quantifies where the masked-lane waste comes from:
+The near P2P kernel fetches one aligned 128-wide window per DISTINCT
+window entry (same-window child runs are OR-merged into one lane mask
+by forces._window_masks); executed near flops = win_cnt * 128 * B * 18.
+This tool reports the residual masked-lane waste:
 
-  * occupancy        — live lanes / fetched lanes (the useful fraction)
-  * distinct windows — window fetches a per-window dedup would make
-  * KSEG rounding    — segments of 8 windows per wait round
+  * occupancy    — live mask bits / fetched lanes (the useful fraction)
+  * KSEG rounding— segments of 8 windows per wait round
 
 Usage: _prof_nearwin.py [advance_steps] [N]
 """
@@ -53,36 +53,26 @@ def stats(drift, label):
     cells, supers, bands, tables = jax.jit(
         lambda p, m, c, dd: forces.build_bands(p, m, c, cfg, drift=dd)
     )(ps, ms, cs, d)
-    _sync(bands.span_cnt)
+    _sync(bands.win_cnt)
 
     @jax.jit
     def win_stats(bands):
-        w = bands.span_first // 128                       # [T, K]
-        live = bands.span_count > 0
-        big = jnp.int32(2**30)
-        ws = jax.lax.sort(jnp.where(live, w, big), dimension=1)
-        newwin = (ws != jnp.concatenate(
-            [jnp.full((ws.shape[0], 1), -1, jnp.int32), ws[:, :-1]], axis=1
-        )) & (ws < big)
-        distinct = jnp.sum(newwin.astype(jnp.int32), axis=1)   # [T]
-        spans = bands.span_cnt
-        segs = (spans + 7) // 8
-        segs_d = (distinct + 7) // 8
+        wins = bands.win_cnt
+        segs = (wins + 7) // 8
+        live = jnp.sum(jax.lax.population_count(bands.win_mask))
         return (
-            jnp.mean(spans.astype(jnp.float32)),
-            jnp.mean(distinct.astype(jnp.float32)),
-            jnp.sum(bands.span_count).astype(jnp.float32),
-            jnp.sum(spans).astype(jnp.float32),
+            jnp.mean(wins.astype(jnp.float32)),
+            live.astype(jnp.float32),
+            jnp.sum(wins).astype(jnp.float32),
             jnp.mean(segs.astype(jnp.float32)) * 8,
-            jnp.mean(segs_d.astype(jnp.float32)) * 8,
         )
 
-    sp, di, livec, spsum, ex, exd = [float(x) for x in win_stats(bands)]
-    t = bands.span_cnt.shape[0]
-    print(f"[{label}] spans/target {sp:.1f}  distinct windows {di:.1f}  "
-          f"occupancy {livec / (spsum * 128):.3f}  "
-          f"exec win (KSEG8) {ex:.1f} -> dedup {exd:.1f}  "
-          f"({exd / ex:.2%} of current)", flush=True)
+    wi, livec, wsum, ex = [float(x) for x in win_stats(bands)]
+    t = bands.win_cnt.shape[0]
+    print(f"[{label}] windows/target {wi:.1f}  "
+          f"occupancy {livec / max(wsum * 128, 1):.3f}  "
+          f"exec win (KSEG8) {ex:.1f} ({ex / max(wi, 1e-9):.2f}x rounding)",
+          flush=True)
 
     # time the near kernel alone on this structure
     @jax.jit
@@ -99,7 +89,7 @@ def stats(drift, label):
         ts.append(time.perf_counter() - t0)
     ts.sort()
     near_ms = ts[len(ts) // 2] * 1e3 - 32.0   # relay overhead
-    gfl = 18 * spsum * 128 * cfg.force_tile / 1e9
+    gfl = 18 * wsum * 128 * cfg.force_tile / 1e9
     print(f"[{label}] near kernel: {near_ms:.1f} ms (net of ~32 ms relay), "
           f"executed {gfl:.0f} Gflop -> {gfl / near_ms:.2f} Tflop/s eff",
           flush=True)

@@ -45,6 +45,6 @@ for K in (1, 2, 4, 8, 16):
     import jax.numpy as _j
     print(f"K={K:2d}: med {np.median(rel):.2e} p95 {np.percentile(rel,95):.2e} "
           f"core med {np.median(rel[core]):.2e} p95 {np.percentile(rel[core],95):.2e} "
-          f"| spans {float(_j.mean(bd.span_cnt)):.0f} near {float(_j.mean(bd.near_cnt)):.0f} "
+          f"| wins {float(_j.mean(bd.win_cnt)):.0f} near {float(_j.mean(bd.near_cnt)):.0f} "
           f"over n={bool(bd.near_overflow)} s={bool(bd.sup_overflow)} "
           f"m={bool(bd.mid_overflow)} c={bool(bd.cmid_overflow)}", flush=True)
