@@ -42,10 +42,13 @@ def band_flops(cfg, bands, n_pad, s_used):
     import jax.numpy as jnp
     from nbody_tpu.ops.pallas.forces import KSEG, WSPAN, SB
 
-    # far/mid sweeps gate compute per SB-wide quarter-slice of each chunk
+    # far/mid sweeps gate compute per SB-wide quarter-slice of each chunk;
+    # the mid table has TWO live-prefix regions (near anti rows, items)
     far = 18 * n_pad * (-(-s_used // SB) * SB)
     row_cnt = cfg.near_cap + 9 * (bands.sup_cnt + bands.mid_cnt + bands.cmid_cnt)
-    mid_slices = int(jnp.sum(-(-row_cnt // SB)))
+    near_q = -(-bands.near_cnt // SB)
+    item_q = -(-row_cnt // SB) - cfg.near_cap // SB
+    mid_slices = int(jnp.sum(near_q + item_q))
     mid = 18 * cfg.force_tile * mid_slices * SB
     # near kernel: ceil(win_cnt / KSEG) segments of KSEG windows each;
     # useful lanes = set bits of the per-window validity masks
@@ -75,8 +78,9 @@ def selfcheck(on_tpu: bool):
     import numpy as np
     import jax
     from nbody_tpu.config import SimConfig
-    from nbody_tpu.ops import bbox, morton, forces
+    from nbody_tpu.ops import forces
     from nbody_tpu.init import make_initial_state
+    from nbody_tpu.models.simulation import sort_by_morton
     from nbody_tpu.ops.pallas.forces import (
         far_sweep_pallas, table_sweep_pallas, near_span_pallas,
     )
@@ -88,8 +92,7 @@ def selfcheck(on_tpu: bool):
 
     def one_geometry(cfg):
         st = make_initial_state(cfg)
-        lo, size = bbox.bounding_cube(st.pos)
-        sc, perm = morton.morton_sort_30(morton.encode30(st.pos, lo, size))
+        sc, perm, lo, size = sort_by_morton(st.pos, cfg)
         ps, ms, cs = forces.pad_sorted(
             st.pos[perm], st.mass[perm], sc, cfg.force_tile
         )
@@ -203,13 +206,13 @@ def main():
             print(f"[bench] phase timing failed: {e}", file=sys.stderr)
 
     # FLOP accounting from the actual band structure at the current state
-    from nbody_tpu.ops import bbox as _bbox, morton as _morton, forces as _forces
+    from nbody_tpu.ops import forces as _forces
+    from nbody_tpu.models.simulation import sort_by_morton as _sbm
     from nbody_tpu.utils import metrics
 
     extra = {}
     try:
-        lo, size = _bbox.bounding_cube(state.pos)
-        sc, perm = _morton.morton_sort_30(_morton.encode30(state.pos, lo, size))
+        sc, perm, lo, size = _sbm(state.pos, cfg)
         ps, ms, cs = _forces.pad_sorted(
             state.pos[perm], state.mass[perm], sc, cfg.force_tile
         )

@@ -37,7 +37,13 @@ class SimConfig:
     legacy_softening: bool = False # use d^2 + softening^2 (basics.txt:104)
     clamp_speed: bool = True       # v5 clamps; legacy nbody_bh does not
     # --- tree / traversal ---
-    morton_bits: int = 30          # 30-bit (v5) or 63-bit (legacy) codes
+    morton_bits: int = 63          # 63 (production default: 21-level
+                                   # adaptive cells — the 30-bit lattice
+                                   # floors cell width at box/1024, which
+                                   # degenerates a contracted core or an
+                                   # expanded box to unbounded exact-P2P
+                                   # demand) or 30 (v5 sort-key parity,
+                                   # 10 levels)
     force_tile: int = 256          # particles per force group (B)
     sup_cap: int = 256             # max MAC-failing supers per target
                                    # (each refines to 8 cells; overflow

@@ -32,24 +32,25 @@ from nbody_tpu.ops.tree import build_tree, LinearTree
 
 
 def sort_by_morton(pos: jax.Array, cfg: SimConfig):
-    """Morton-sort honoring cfg.morton_bits: (codes30_sorted, perm, lo,
+    """Morton-sort honoring cfg.morton_bits: (codes_sorted, perm, lo,
     size).
 
-    With morton_bits=63 (legacy nbody/nbody_bh key width: 63-bit codes as
-    (hi, lo) uint32 pairs sorted lexicographically — cub::DeviceRadixSort
-    on u64 keys in nbody_bh.exe), the 30-bit codes the cell build needs
-    are the TOP 30 BITS of the 63-bit keys (bits 33..62 = hi >> 1): a
-    strict prefix of the sort key, so the sorted order of the 63-bit keys
-    is also sorted for them.  (Re-encoding at 10-bit quantization would
-    NOT nest — the lattices differ.)  Shared by the single-step path and
-    every band-reuse runner, so the legacy key width is honored
-    everywhere.
+    With morton_bits=63 (the production default; also the legacy
+    nbody/nbody_bh key width — cub::DeviceRadixSort on u64 keys in
+    nbody_bh.exe), codes are (hi, lo) uint32 pairs sorted
+    lexicographically and returned STACKED as [N, 2]: the cell build
+    consumes the full 63 bits for a 21-level adaptive cut (the 30-bit
+    lattice floors cell width at box/1024, degenerating a contracted
+    core to unbounded exact P2P — ops/cells.py).  With morton_bits=30
+    (v5 sort-key parity, nbody_v5.cu:57-78) codes are plain uint32 [N]
+    and the cut is 10 levels.  Shared by the single-step path and every
+    band-reuse runner, so the key width is honored everywhere.
     """
     lo, size = bbox.bounding_cube(pos)
     if cfg.morton_bits == 63:
         hi, lo32 = morton.encode63(pos, lo, size)
-        shi, _, perm = morton.morton_sort_63(hi, lo32)
-        codes_s = (shi >> 1) & jnp.uint32(0x3FFFFFFF)
+        shi, slo, perm = morton.morton_sort_63(hi, lo32)
+        codes_s = jnp.stack([shi, slo], axis=1)
     else:
         codes = morton.encode30(pos, lo, size)
         codes_s, perm = morton.morton_sort_30(codes)
@@ -77,7 +78,14 @@ def compute_bh_acc(
         )
         acc_s = forces.bh_forces_grouped(pos_p, mass_p, codes_p, cfg)[:n]
     elif force_fn == "reference":
-        tree = build_tree(codes_s, pos_s, mass_s, size)
+        # the explicit LinearTree is 30-bit; 63-bit sort keys nest to
+        # their top 30 bits (hi >> 1 = bits 33..62, a strict key prefix),
+        # so the sorted order remains valid for the truncated codes
+        if codes_s.ndim == 2:
+            codes30 = (codes_s[:, 0] >> 1) & jnp.uint32(0x3FFFFFFF)
+        else:
+            codes30 = codes_s
+        tree = build_tree(codes30, pos_s, mass_s, size)
         acc_s = forces.bh_forces_reference(pos_s, tree, cfg)
     else:
         raise ValueError(f"unknown force_fn {force_fn}")
@@ -427,16 +435,14 @@ class Simulation:
         self._overflow_checked = True
         import warnings
 
-        from nbody_tpu.ops import bbox, morton, forces
         from nbody_tpu.ops.cells import build_source_cells
 
         def probe(pos, mass):
-            # mirror the runtime build exactly (same g2 cap factor) so the
-            # guard can see grandchild-segment overflow too; cut/segment
-            # counts are pure functions of the codes, so drift skins are
-            # irrelevant here
-            lo, size = bbox.bounding_cube(pos)
-            cs, perm = morton.morton_sort_30(morton.encode30(pos, lo, size))
+            # mirror the runtime build exactly (same code width, same g2
+            # cap factor) so the guard can see grandchild-segment
+            # overflow too; cut/segment counts are pure functions of the
+            # codes, so drift skins are irrelevant here
+            cs, perm, lo, size = sort_by_morton(pos, self.cfg)
             ps, ms, csp = forces.pad_sorted(
                 pos[perm], mass[perm], cs, self.cfg.force_tile
             )

@@ -12,10 +12,22 @@ are ~half their size — exactly the property the mid band needs.
 
 Everything is built from cumulative scans over the SORTED code array —
 no O(N) gathers (XLA gather costs ~5-10 ns/element on TPU; scans cost
-~1 ns/element).  Per-depth cell boundaries for ALL 11 depths come from a
-single adjacent-XOR pass (boundary at depth d <=> shared code prefix of
-neighbors < 3d bits).  The reference builds the same structure by atomic
-insertion (nbody_v5.cu:98-156); this is the closed-form equivalent.
+~1 ns/element).  The cut depth comes from TWO sliding-window extrema
+over the adjacent-LCP array (see _sliding_cut_depth) — O(N) work
+independent of the depth range, which is what makes 21-level codes
+affordable.  The reference builds the same structure by atomic insertion
+(nbody_v5.cu:98-156); this is the closed-form equivalent.
+
+Codes come in two widths (ops/morton.py):
+
+  * [N]    uint32 — 30-bit v5 codes, 10 levels.  The lattice floor is
+           box/1024: once a contracted core (or an expanded bounding
+           box) pushes real structure below it, same-cell particles can
+           no longer be separated and the near band degenerates to huge
+           exact P2P sets (measured: the unbounded near-demand tail).
+  * [N, 2] uint32 — (hi, lo) halves of the legacy 63-bit codes,
+           21 levels (lattice box/2^21) — the production default; the
+           cut follows real structure all the way down.
 
 Cells still denser than B at the maximum depth (heavy clustering below
 Morton resolution) are split into B-particle runs — inside one finest
@@ -31,8 +43,8 @@ import jax.numpy as jnp
 from jax import lax
 
 _I32 = jnp.int32
-MAX_DEPTH = 10  # 30-bit codes / 3 bits per level
-N_DEPTH = MAX_DEPTH + 1
+MAX_DEPTH = 10     # 30-bit codes / 3 bits per level
+MAX_DEPTH_63 = 21  # 63-bit codes
 
 
 class SourceCells(NamedTuple):
@@ -125,26 +137,139 @@ def _cumsum_prefix(x: jax.Array) -> jax.Array:
     return jnp.concatenate([z, c], axis=0)
 
 
+def code_bits(codes: jax.Array) -> int:
+    """30 for [N] uint32 codes, 63 for [N, 2] (hi, lo) pairs."""
+    return 63 if codes.ndim == 2 else 30
+
+
+def max_depth_of(codes: jax.Array) -> int:
+    return MAX_DEPTH_63 if codes.ndim == 2 else MAX_DEPTH
+
+
+def lcp_between(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Length of the shared leading-bit prefix of two code arrays (same
+    representation as the sorted codes: [K] uint32 or [K, 2] pairs).
+    Counted from the top code bit (bit 29 of 30 / bit 62 of 63), so a
+    shared prefix >= 3d means "same depth-d octree cell"."""
+    if a.ndim == 2:
+        xh = a[:, 0] ^ b[:, 0]
+        xl = a[:, 1] ^ b[:, 1]
+        # hi carries code bits 32..62 in its low 31 bits (top bit 0), so
+        # the leading mismatch at u32 bit k means clz-1 shared code bits
+        lcp_hi = lax.clz(xh).astype(_I32) - 1
+        lcp_lo = 31 + jnp.where(xl == 0, 32, lax.clz(xl).astype(_I32))
+        return jnp.where(xh != 0, lcp_hi, jnp.where(xl != 0, lcp_lo, 63))
+    x = a ^ b
+    return jnp.where(x == 0, 30, lax.clz(x).astype(_I32) - 2)
+
+
+def adjacent_lcp(codes_sorted: jax.Array) -> jax.Array:
+    """Per-particle LCP with the LEFT sorted neighbor; element 0 gets
+    the full code width (no left neighbor — callers force a boundary
+    there explicitly)."""
+    prev = jnp.concatenate([codes_sorted[:1], codes_sorted[:-1]], axis=0)
+    return lcp_between(codes_sorted, prev)
+
+
+def _block_cummin(x: jax.Array, w: int, reverse: bool) -> jax.Array:
+    return lax.cummin(x.reshape(-1, w), axis=1, reverse=reverse).reshape(-1)
+
+
+def _block_cummax(x: jax.Array, w: int, reverse: bool) -> jax.Array:
+    return lax.cummax(x.reshape(-1, w), axis=1, reverse=reverse).reshape(-1)
+
+
+def _sliding_cut_depth(lcp: jax.Array, b: int, max_depth: int) -> jax.Array:
+    """UNCLAMPED cut depth per particle from the adjacent-LCP array.
+
+    cnt_d(i) > b  <=>  some window of b+1 consecutive sorted particles
+    containing i lies in one depth-d cell  <=>  3d <= L(i), where
+        L(i) = max_{s in [i-b, i]} min(lcp[s+1 .. s+b])
+    (window [s, s+b] of particles shares a cell iff every adjacent pair
+    inside shares it).  cut(i) = floor(L(i)/3) + 1 — the shallowest depth
+    whose cell holds <= b.  Both sliding extrema use the two-pass block
+    decomposition (prefix + suffix scan at block width = window width):
+    O(N) work independent of max_depth, replacing the old [N, D]
+    per-depth boundary matrix.  floor(L/3)+1 is cell-consistent even
+    though L itself varies by +-2 within a cell (the predicate family
+    {cnt_d > b} it encodes is shared by all members of a cell).
+    """
+    n = lcp.shape[0]
+    if n <= b:
+        return jnp.zeros((n,), _I32)
+    big = jnp.int32(64)
+    # W(x) = min lcp[x .. x+b-1], valid for x in [1, n-b]
+    padw = (-n) % b if b > 1 else 0
+    lp = jnp.concatenate([lcp, jnp.full((padw,), big, _I32)]) if padw else lcp
+    pre = _block_cummin(lp, b, False)
+    suf = _block_cummin(lp, b, True)
+    x = jnp.arange(n - b, dtype=_I32) + 1
+    w_min = jnp.minimum(suf[x], pre[x + b - 1])          # [n-b]
+    # M[s] = W(s+1) for s in [0, n-1-b]; L(i) = max over the width-(b+1)
+    # window Mp[i .. i+b] where Mp[j] = M[j-b], out-of-range s -> -1
+    wv = b + 1
+    mp = jnp.concatenate([
+        jnp.full((b,), -1, _I32), w_min,
+        jnp.full((b + (-(n + b)) % wv,), -1, _I32),
+    ])
+    pre_m = _block_cummax(mp, wv, False)
+    suf_m = _block_cummax(mp, wv, True)
+    i = jnp.arange(n, dtype=_I32)
+    l_val = jnp.maximum(suf_m[i], pre_m[i + b])
+    return jnp.where(l_val < 0, 0, l_val // 3 + 1)
+
+
 def _compact_bits(v: jax.Array) -> jax.Array:
-    """Inverse of morton.expand_bits: extract every 3rd bit (lowest 10/11)."""
+    """Inverse of morton.expand_bits: extract every 3rd bit — 11 output
+    bits (the 63-bit decode reads 11 dilated bits per word; verified
+    exhaustively as the inverse for 11-bit inputs)."""
     v = v & jnp.uint32(0x49249249)
     v = (v | (v >> 2)) & jnp.uint32(0xC30C30C3)
     v = (v | (v >> 4)) & jnp.uint32(0x0F00F00F)
     v = (v | (v >> 8)) & jnp.uint32(0xFF0000FF)
-    v = (v | (v >> 16)) & jnp.uint32(0x3FF)
+    v = (v | (v >> 16)) & jnp.uint32(0x7FF)
     return v
 
 
 def cell_corner(code: jax.Array, depth: jax.Array, lo: jax.Array, size: jax.Array):
     """Lower corner of the depth-d Morton cell containing `code` (world
-    coordinates), vectorized over cells.  Only O(G) work — no per-particle
-    decode."""
+    coordinates), vectorized over cells; accepts both code widths ([K]
+    uint32 30-bit or [K, 2] (hi, lo) 63-bit).  Only O(G) work — no
+    per-particle decode."""
+    if code.ndim == 2:
+        return _cell_corner63(code[:, 0], code[:, 1], depth, lo, size)
     shift = 3 * (MAX_DEPTH - jnp.minimum(depth, MAX_DEPTH))
     cid = (code >> shift) << shift  # zero the sub-cell bits
     x = _compact_bits(cid >> 2).astype(jnp.float32)
     y = _compact_bits(cid >> 1).astype(jnp.float32)
     z = _compact_bits(cid).astype(jnp.float32)
     lattice = size / 1024.0
+    return lo[None, :] + jnp.stack([x, y, z], axis=1) * lattice
+
+
+def _cell_corner63(hi: jax.Array, lo32: jax.Array, depth: jax.Array,
+                   lo: jax.Array, size: jax.Array):
+    """63-bit corner decode: zero the sub-cell bits of the (hi, lo) pair,
+    then de-interleave each axis from the two words.  Axis a's bits sit
+    at code positions 3i+a (X at a=2, morton.encode63 layout): the lo
+    word holds i <= 9/10 at word positions 3i+a, the hi word the rest at
+    positions (3i+a-32) — each word extracts with the standard every-3rd
+    compaction after an axis-specific shift."""
+    shift = 3 * (MAX_DEPTH_63 - jnp.minimum(depth, MAX_DEPTH_63))  # 0..63
+    sh_hi = jnp.clip(shift - 32, 0, 31).astype(jnp.uint32)
+    hi_m = (hi >> sh_hi) << sh_hi
+    sh_lo = jnp.clip(shift, 0, 31).astype(jnp.uint32)
+    lo_m = jnp.where(shift >= 32, jnp.uint32(0), (lo32 >> sh_lo) << sh_lo)
+
+    def axis(off_lo_shift, hi_shift, hi_out_shift):
+        low = _compact_bits(lo_m >> off_lo_shift)
+        high = _compact_bits(hi_m >> hi_shift)
+        return (low | (high << hi_out_shift)).astype(jnp.float32)
+
+    x = axis(2, 0, 10)   # X: lo bits {2,5,..,29} -> i 0..9; hi {0,3,..,30} -> i 10..20
+    y = axis(1, 2, 11)   # Y: lo {1,4,..,31} -> i 0..10; hi {2,5,..,29} -> i 11..20
+    z = axis(0, 1, 11)   # Z: lo {0,3,..,30} -> i 0..10; hi {1,4,..,31} -> i 11..20
+    lattice = size / jnp.float32(1 << MAX_DEPTH_63)
     return lo[None, :] + jnp.stack([x, y, z], axis=1) * lattice
 
 
@@ -178,46 +303,32 @@ def build_source_cells(
     n = codes_sorted.shape[0]
     idx = jnp.arange(n, dtype=_I32)
     c_cap = 8 * g_cap
+    max_d = max_depth_of(codes_sorted)
 
-    # --- all-depth boundaries from one adjacent-XOR pass ---
-    prev = jnp.concatenate([codes_sorted[:1], codes_sorted[:-1]])
-    x = codes_sorted ^ prev
-    lcp = jnp.where(x == 0, 30, lax.clz(x).astype(_I32) - 2)  # shared bits
-    depths = jnp.arange(N_DEPTH, dtype=_I32)[None, :]
-    bnd = lcp[:, None] < 3 * depths                           # [N, D]
-    bnd = bnd.at[0, :].set(True)
+    # --- cut depth from two sliding-window extrema over the LCP array ---
+    lcp = adjacent_lcp(codes_sorted)                          # [N]
+    cut_depth = _sliding_cut_depth(lcp, b, max_d)             # unclamped
+    at_max = cut_depth >= max_d
 
-    # --- per-depth segment start & count via one vectorized scan pair ---
-    start_d = lax.cummax(jnp.where(bnd, idx[:, None], -1), axis=0)
-    nxt = jnp.concatenate([bnd[1:], jnp.ones((1, N_DEPTH), bool)], axis=0)
-    end_d = lax.cummin(
-        jnp.where(nxt, idx[:, None] + 1, n + 1), axis=0, reverse=True
-    )
-    cnt_d = end_d - start_d                                   # [N, D]
-
-    # cut depth: counts are nonincreasing in d
-    cut_depth = jnp.sum((cnt_d > b).astype(_I32), axis=1)     # [N], 0..D
-    at_max = cut_depth >= MAX_DEPTH
-
-    oh = jnp.arange(N_DEPTH, dtype=_I32)[None, :]
-    grp_b = jnp.any(bnd & (oh == jnp.minimum(cut_depth, MAX_DEPTH)[:, None]), axis=1)
+    # a particle starts its cell iff the left-neighbor LCP drops below
+    # its cell's prefix length (cut_depth is cell-consistent, see
+    # _sliding_cut_depth); element 0 is always a boundary
+    first_b = idx == 0
+    grp_b = first_b | (lcp < 3 * jnp.minimum(cut_depth, max_d))
     # cells denser than b at max depth split into b-runs
-    st10 = start_d[:, MAX_DEPTH]
-    grp_b = grp_b | (at_max & ((idx - st10) % b == 0))
+    bmax = first_b | (lcp < 3 * max_d)
+    st_max = lax.cummax(jnp.where(bmax, idx, -1))
+    grp_b = grp_b | (at_max & ((idx - st_max) % b == 0))
 
     # children: depth+1 cells; for max-depth cells, b/8-runs
-    chd_b = grp_b | jnp.any(
-        bnd & (oh == jnp.minimum(cut_depth + 1, MAX_DEPTH)[:, None]), axis=1
-    )
+    chd_b = grp_b | (lcp < 3 * jnp.minimum(cut_depth + 1, max_d))
     sub = max(b // 8, 1)
     grp_start = lax.cummax(jnp.where(grp_b, idx, -1))
     chd_b = chd_b | (at_max & ((idx - grp_start) % sub == 0))
 
     # grandchildren: depth+2 cells; for max-depth cells, b/64-runs within
     # each child run (still spatially tight: inside one finest cell)
-    g2_b = chd_b | jnp.any(
-        bnd & (oh == jnp.minimum(cut_depth + 2, MAX_DEPTH)[:, None]), axis=1
-    )
+    g2_b = chd_b | (lcp < 3 * jnp.minimum(cut_depth + 2, max_d))
     sub2 = max(b // 64, 1)
     chd_start = lax.cummax(jnp.where(chd_b, idx, -1))
     g2_b = g2_b | (at_max & ((idx - chd_start) % sub2 == 0))
@@ -296,7 +407,7 @@ def build_source_cells(
         fc = jnp.clip(first, 0, n - 1)
         width = jnp.where(
             valid,
-            box_size * jnp.exp2(-jnp.minimum(depth, MAX_DEPTH).astype(jnp.float32)),
+            box_size * jnp.exp2(-jnp.minimum(depth, max_d).astype(jnp.float32)),
             0.0,
         )
         corner = cell_corner(codes_sorted[fc], depth, box_lo, box_size)
@@ -328,10 +439,10 @@ def build_source_cells(
         g_depth = cut_depth[gf_safe0]
         g_diam, g_lo, g_hi = analytic_stats(g_first, g_count, g_depth)
         cf_safe0 = jnp.clip(c_first, 0, n - 1)
-        c_depth = jnp.minimum(cut_depth[cf_safe0] + 1, MAX_DEPTH)
+        c_depth = jnp.minimum(cut_depth[cf_safe0] + 1, max_d)
         c_diam, _, _ = analytic_stats(c_first, c_count, c_depth)
         c2f_safe0 = jnp.clip(c2_first, 0, n - 1)
-        c2_depth = jnp.minimum(cut_depth[c2f_safe0] + 2, MAX_DEPTH)
+        c2_depth = jnp.minimum(cut_depth[c2f_safe0] + 2, max_d)
         c2_diam, _, _ = analytic_stats(c2_first, c2_count, c2_depth)
     else:
         g_diam, g_lo, g_hi = bbox_stats(g_first, g_count, mn_g, mx_g)

@@ -204,38 +204,42 @@ def pad_to_groups(pos_s, mass_s, b):
 
 
 def pad_sorted(pos_s, mass_s, codes_s, b):
-    """pad_to_groups plus the matching Morton codes (clones of the last
-    particle keep the sorted order valid)."""
+    """pad_to_groups plus the matching Morton codes — [N] uint32 (30-bit)
+    or [N, 2] (hi, lo) 63-bit pairs; clones of the last particle keep the
+    sorted order valid."""
     n = pos_s.shape[0]
     pos_p, mass_p = pad_to_groups(pos_s, mass_s, b)
     n_pad = pos_p.shape[0]
     if n_pad == n:
         return pos_p, mass_p, codes_s
     codes_p = jnp.concatenate(
-        [codes_s, jnp.broadcast_to(codes_s[-1], (n_pad - n,))]
+        [codes_s,
+         jnp.broadcast_to(codes_s[-1], (n_pad - n,) + codes_s.shape[1:])]
     )
     return pos_p, mass_p, codes_p
 
 
 def local_width(codes_s: jax.Array, box_size, b: int) -> jax.Array:
     """Per-particle LOCAL cell-width estimate from the sorted Morton
-    codes: the depth of the smallest Morton cell containing the particle
-    and its neighbor b/8 positions away (the child-cell occupancy scale)
-    gives width = box_size * 2^-depth.  Used to cap band-reuse skin
-    margins at the local geometry scale — a skin much wider than the
-    local cell width floods the band caps (overflow => coarse-monopole
-    fallback => theta violations in the dense core)."""
-    n = codes_s.shape[0]
+    codes (either width — [N] or [N, 2]): the depth of the smallest
+    Morton cell containing the particle and its neighbor b/8 positions
+    away (the child-cell occupancy scale) gives width = box_size *
+    2^-depth.  Used to cap band-reuse skin margins at the local geometry
+    scale — a skin much wider than the local cell width floods the band
+    caps (overflow => coarse-monopole fallback => theta violations in
+    the dense core)."""
+    from nbody_tpu.ops.cells import lcp_between
+
     c = max(b // 8, 1)
-    left = jnp.concatenate([jnp.broadcast_to(codes_s[:1], (c,)), codes_s[:-c]])
-    right = jnp.concatenate([codes_s[c:], jnp.broadcast_to(codes_s[-1:], (c,))])
-
-    def depth(a, bb):
-        x = a ^ bb
-        lcp = jnp.where(x == 0, 30, lax.clz(x).astype(_I32) - 2)
-        return lcp // 3
-
-    d = jnp.maximum(depth(codes_s, left), depth(codes_s, right))
+    left = jnp.concatenate(
+        [jnp.broadcast_to(codes_s[:1], (c,) + codes_s.shape[1:]),
+         codes_s[:-c]], axis=0,
+    )
+    right = jnp.concatenate(
+        [codes_s[c:],
+         jnp.broadcast_to(codes_s[-1:], (c,) + codes_s.shape[1:])], axis=0,
+    )
+    d = jnp.maximum(lcp_between(codes_s, left), lcp_between(codes_s, right)) // 3
     return box_size * jnp.exp2(-d.astype(jnp.float32))
 
 
@@ -507,7 +511,12 @@ def cell_band_lists(
     centers = tgt_subs.center.reshape(t, SUB_FACTOR, 3)
     radii = tgt_subs.radius.reshape(t, SUB_FACTOR)
     tskins = tgt_subs.skin.reshape(t, SUB_FACTOR)
-    chunk = max(8, min(256, (1 << 20) // max(n_sup, 1)))
+    # chunk rows so the per-chunk panel working set stays bounded; the
+    # stage-1 intermediates are ~24*n_sup floats per row, stage 2
+    # ~15*8*sup_cap, stage 3 ~30*8*mid_cap (caps are tunable, so the
+    # budget must track them, not just n_sup)
+    per_row = 24 * n_sup + 120 * s_cap + 250 * mid_cap
+    chunk = max(8, min(256, (28 << 20) // max(per_row, 1)))
     t_pad = -(-t // chunk) * chunk
     centers = jnp.pad(centers, ((0, t_pad - t), (0, 0), (0, 0)))
     radii = jnp.pad(radii, ((0, t_pad - t), (0, 0)))
@@ -666,7 +675,11 @@ class TableSet(NamedTuple):
     ty: jax.Array        # [T, R] source y
     tz: jax.Array        # [T, R] source z
     tm: jax.Array        # [T, R] G * mass (negated for anti rows)
-    row_cnt: jax.Array   # [T] int32 live rows
+    row_cnt: jax.Array   # [T] int32 live rows (near_cap + 9 * items —
+                         #   counts the STATIC near region fully)
+    near_cnt: jax.Array  # [T] int32 live prefix of the near anti region
+                         #   (the Pallas sweep skips the dead gap between
+                         #   near_cnt and near_cap)
 
 
 def build_cell_tables(cells, supers: Supers, bands: CellBands) -> TableSet:
@@ -753,7 +766,8 @@ def build_cell_tables(cells, supers: Supers, bands: CellBands) -> TableSet:
 
     row_cnt = near_cap + 9 * (bands.sup_cnt + bands.mid_cnt + bands.cmid_cnt)
     return TableSet(tx=plane(0), ty=plane(1), tz=plane(2), tm=plane(3),
-                    row_cnt=row_cnt.astype(_I32))
+                    row_cnt=row_cnt.astype(_I32),
+                    near_cnt=bands.near_cnt.astype(_I32))
 
 
 def table_sweep_jnp(tgt_pos: jax.Array, tables: "TableSet", cfg: SimConfig) -> jax.Array:

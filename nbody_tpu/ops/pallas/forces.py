@@ -178,12 +178,16 @@ def far_sweep_pallas(pos_s: jax.Array, groups, cfg: SimConfig) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _table_kernel(used_ref, pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref,
-                  *, soft: float):
+def _table_kernel(nc_ref, rc_ref, pos_ref, x_ref, y_ref, z_ref, gm_ref,
+                  acc_ref, *, soft: float, near_cap: int):
     # same panel math as the far sweep over PER-TARGET gathered band
-    # tables (sub-monopoles + anti-parents); rows are COMPACTED per
-    # target, so quarter-slices past this target's live row count are
-    # skipped
+    # tables (sub-monopoles + anti-parents).  The table row layout is two
+    # live-prefix regions: [near anti rows (static near_cap region, live
+    # prefix = near_cnt) | compacted 9-row items (up to row_cnt)], so a
+    # quarter-slice executes iff it intersects either live prefix —
+    # raising near_cap then costs memory, not VPU work.  (Two separate
+    # (T,) prefetch arrays: a 2D (T, 2) SMEM array would be (8,128)-tiled
+    # to 2 MB and overflow the 1 MB SMEM budget.)
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -191,14 +195,23 @@ def _table_kernel(used_ref, pos_ref, x_ref, y_ref, z_ref, gm_ref, acc_ref,
     def _init():
         acc_ref[0] = jnp.zeros_like(acc_ref[0])
 
-    _gated_accum(acc_ref, pos_ref[0], x_ref, y_ref, z_ref, gm_ref,
-                 j * LC, used_ref[i], soft)
+    nc = nc_ref[i]
+    rc = rc_ref[i]
+    p = pos_ref[0]
+    for q in range(SUBQ):
+        base = j * LC + q * SB
+        live = (base < nc) | ((base + SB > near_cap) & (base < rc))
+
+        @pl.when(live)
+        def _accum(q=q):
+            part = _panel_part(
+                p, x_ref[q:q + 1, :], y_ref[q:q + 1, :],
+                z_ref[q:q + 1, :], gm_ref[q:q + 1, :], soft,
+            )
+            acc_ref[0] = acc_ref[0] + part
 
 
-def table_sweep_pallas(
-    tgt_pos: jax.Array, tables, cfg: SimConfig,
-    row_cnt: jax.Array | None = None,
-) -> jax.Array:
+def table_sweep_pallas(tgt_pos: jax.Array, tables, cfg: SimConfig) -> jax.Array:
     """Dense sweep over per-target PLANAR source tables (forces.TableSet);
     twin of forces.table_sweep_jnp.
 
@@ -223,15 +236,17 @@ def table_sweep_pallas(
     ty = flat(tables.ty)
     tz = flat(tables.tz)
     tm = flat(tables.tm)
-    if row_cnt is None:
-        row_cnt = tables.row_cnt
-    used = row_cnt.astype(jnp.int32)                      # live ROW counts
+    # two live-prefix regions per target: [near_cnt live anti rows |
+    # items up to row_cnt past the static near_cap boundary]
+    nc = tables.near_cnt.astype(jnp.int32)
+    rc = tables.row_cnt.astype(jnp.int32)
 
-    kernel = functools.partial(_table_kernel, soft=float(soft_term(cfg)))
+    kernel = functools.partial(_table_kernel, soft=float(soft_term(cfg)),
+                               near_cap=cfg.near_cap)
     row = pl.BlockSpec((SUBQ, SB), lambda i, j, *_, c=chunks: (0, i * c + j),
                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(t, chunks),
         in_specs=[
             pl.BlockSpec((1, b, 3), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -249,7 +264,7 @@ def table_sweep_pallas(
             bytes_accessed=(4 * t * s_pad + 2 * 3 * n) * 4,
             transcendentals=n * s_pad,
         ),
-    )(used, tgt_pos.reshape(t, b, 3), tx, ty, tz, tm)
+    )(nc, rc, tgt_pos.reshape(t, b, 3), tx, ty, tz, tm)
     return acc.reshape(n, 3)
 
 

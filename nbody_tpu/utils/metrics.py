@@ -74,11 +74,11 @@ def cell_count(state: ParticleState, cfg: SimConfig) -> jax.Array:
     """Adaptive source-cell count — the cheap jittable analog of the
     legacy binaries' per-step "Nodes: %d" telemetry (strings in
     nbody.exe / nbody_bh.exe, SURVEY.md §3.3)."""
-    from nbody_tpu.ops import bbox as _bbox, morton as _morton, forces as _forces
+    from nbody_tpu.ops import forces as _forces
     from nbody_tpu.ops.cells import build_source_cells
+    from nbody_tpu.models.simulation import sort_by_morton
 
-    lo, size = _bbox.bounding_cube(state.pos)
-    cs, perm = _morton.morton_sort_30(_morton.encode30(state.pos, lo, size))
+    cs, perm, lo, size = sort_by_morton(state.pos, cfg)
     ps, ms, csp = _forces.pad_sorted(
         state.pos[perm], state.mass[perm], cs, cfg.force_tile
     )
@@ -94,11 +94,10 @@ def bh_diagnostics(state: ParticleState, cfg: SimConfig) -> Dict[str, float]:
     adaptive cell count, band-list statistics, and overflow flags."""
     import jax.numpy as jnp
 
-    from nbody_tpu.ops import bbox as _bbox, morton as _morton, forces as _forces
+    from nbody_tpu.ops import forces as _forces
+    from nbody_tpu.models.simulation import sort_by_morton
 
-    lo, size = _bbox.bounding_cube(state.pos)
-    codes = _morton.encode30(state.pos, lo, size)
-    cs, perm = _morton.morton_sort_30(codes)
+    cs, perm, lo, size = sort_by_morton(state.pos, cfg)
     ps, ms, csp = _forces.pad_sorted(state.pos[perm], state.mass[perm], cs, cfg.force_tile)
     cells, supers, bands, _ = _forces.build_bands(ps, ms, csp, cfg)
     return {

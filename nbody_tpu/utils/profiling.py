@@ -82,16 +82,15 @@ def phase_times(
     slightly exceed the fused step (which is the point of fusing).
     `include_tree` additionally times the reference-path octree build,
     which is NOT part of the production step."""
-    from nbody_tpu.ops import bbox, morton, forces, integrate as integ
+    from nbody_tpu.ops import forces, integrate as integ
     from nbody_tpu.ops.tree import build_tree
+    from nbody_tpu.models.simulation import sort_by_morton
 
     pos, mass = state.pos, state.mass
 
     @jax.jit
     def ph_sort(pos):
-        lo, size = bbox.bounding_cube(pos)
-        codes = morton.encode30(pos, lo, size)
-        codes_s, perm = morton.morton_sort_30(codes)
+        codes_s, perm, _, size = sort_by_morton(pos, cfg)
         return codes_s, perm, size
 
     codes_s, perm, size = jax.block_until_ready(ph_sort(pos))
@@ -99,6 +98,9 @@ def phase_times(
 
     @jax.jit
     def ph_tree(codes_s, pos_s, mass_s, size):
+        # the reference-path LinearTree is 30-bit; 63-bit keys nest
+        if codes_s.ndim == 2:
+            codes_s = (codes_s[:, 0] >> 1) & jnp.uint32(0x3FFFFFFF)
         return build_tree(codes_s, pos_s, mass_s, size)
 
     b = cfg.force_tile

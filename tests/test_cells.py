@@ -159,3 +159,123 @@ def test_analytic_cell_geometry():
         assert np.all(psn[sl].max(0) <= chi[g] + eps)
         # and the particle extent never exceeds the cell width
         assert (psn[sl].max(0) - psn[sl].min(0)).max() <= diam[g] + eps
+
+
+# ---------------------------------------------------------------------------
+# 63-bit (21-level) codes — the production default (cfg.morton_bits=63)
+# ---------------------------------------------------------------------------
+
+from nbody_tpu.ops.cells import MAX_DEPTH_63
+
+
+def _oracle_cut_63(codes_u64, b):
+    """Same brute-force cut oracle at 21 levels (63-bit codes)."""
+    n = len(codes_u64)
+    cnt = np.zeros((n, MAX_DEPTH_63 + 1), np.int64)
+    cid_all = np.zeros((n, MAX_DEPTH_63 + 1), np.uint64)
+    for d in range(MAX_DEPTH_63 + 1):
+        cid = codes_u64 >> np.uint64(3 * (MAX_DEPTH_63 - d))
+        _, inv, cnts = np.unique(cid, return_inverse=True, return_counts=True)
+        cnt[:, d] = cnts[inv]
+        cid_all[:, d] = cid
+    cut = (cnt > b).sum(1)
+
+    groups = []
+    i = 0
+    while i < n:
+        d = cut[i]
+        if d > MAX_DEPTH_63:
+            j = i
+            while j < n and codes_u64[j] == codes_u64[i]:
+                j += 1
+            k = i
+            while k < j:
+                groups.append((k, min(b, j - k)))
+                k += b
+            i = j
+            continue
+        j = i
+        while j < n and cut[j] == d and cid_all[j, d] == cid_all[i, d]:
+            j += 1
+        groups.append((i, j - i))
+        i = j
+    return groups
+
+
+def _build63(n, b, seed=0, clustered=False):
+    rng = np.random.default_rng(seed)
+    if clustered:
+        c = rng.uniform(-500, 500, (4, 3))
+        pos = (c[rng.integers(0, 4, n)] + rng.normal(0, 0.05, (n, 3))).astype(np.float32)
+    else:
+        pos = rng.uniform(-1000, 1000, (n, 3)).astype(np.float32)
+    mass = rng.uniform(1, 5, n).astype(np.float32)
+    lo, size = bbox.bounding_cube(jnp.asarray(pos))
+    hi, lo32 = morton.encode63(jnp.asarray(pos), lo, size)
+    shi, slo, perm = morton.morton_sort_63(hi, lo32)
+    codes2 = jnp.stack([shi, slo], axis=1)
+    ps, ms = jnp.asarray(pos)[perm], jnp.asarray(mass)[perm]
+    g_cap = max(64, 8 * n // b)
+    cells = build_source_cells(codes2, ps, ms, b, 0.5, g_cap)
+    u64 = (np.asarray(shi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        slo
+    ).astype(np.uint64)
+    return cells, u64, np.asarray(ps), np.asarray(ms), lo, size, codes2
+
+
+@pytest.mark.parametrize("n,b,clustered", [
+    (1000, 64, False), (1000, 64, True), (2048, 128, False), (300, 32, True),
+])
+def test_cut63_matches_oracle(n, b, clustered):
+    """The sliding-window cut over 63-bit (hi, lo) pairs matches the
+    per-depth numpy oracle at 21 levels; tight clusters (sigma 0.05 on a
+    2000-unit box, far below the 30-bit lattice) must resolve into deep
+    cells instead of b-run splits."""
+    cells, u64, ps, ms, _, _, _ = _build63(n, b, clustered=clustered)
+    # codes occupy bits 0..62 (bit 63 is zero), so the u64 oracle shifts
+    # by 3*(21-d) line up with the (hi, lo) prefix depths exactly
+    want = _oracle_cut_63(u64, b)
+    gn = int(cells.n_cells)
+    assert not bool(cells.overflow)
+    assert gn == len(want)
+    first = np.asarray(cells.first)[:gn]
+    count = np.asarray(cells.count)[:gn]
+    np.testing.assert_array_equal(first, [w[0] for w in want])
+    np.testing.assert_array_equal(count, [w[1] for w in want])
+    assert count.max() <= b
+
+
+def test_analytic_cell_geometry_63():
+    """Analytic widths/corners from 63-bit codes: width = size / 2^depth
+    at up to 21 levels and every cell's particles fit its box."""
+    n, b = 2000, 128
+    rng = np.random.default_rng(7)
+    c = rng.uniform(-800, 800, (6, 3))
+    pos = (c[rng.integers(0, 6, n)] + rng.normal(0, 0.02, (n, 3))).astype(np.float32)
+    mass = rng.uniform(1, 2, n).astype(np.float32)
+    lo, size = bbox.bounding_cube(jnp.asarray(pos))
+    hi, lo32 = morton.encode63(jnp.asarray(pos), lo, size)
+    shi, slo, perm = morton.morton_sort_63(hi, lo32)
+    codes2 = jnp.stack([shi, slo], axis=1)
+    ps, ms = jnp.asarray(pos)[perm], jnp.asarray(mass)[perm]
+    cells = build_source_cells(codes2, ps, ms, b, 0.5, 8 * n // b, lo, size)
+    gn = int(cells.n_cells)
+    first = np.asarray(cells.first)[:gn]
+    count = np.asarray(cells.count)[:gn]
+    diam = np.asarray(cells.diam)[:gn]
+    clo = np.asarray(cells.lo)[:gn]
+    chi = np.asarray(cells.hi)[:gn]
+    psn = np.asarray(ps)
+    sz = float(size)
+    # the tight clusters (sigma 0.02 on a ~1600-unit box) MUST cut deeper
+    # than the 30-bit floor of 10 levels
+    k_all = np.round(np.log2(sz / np.maximum(diam, 1e-20))).astype(int)
+    assert k_all.max() > 10
+    for g in range(gn):
+        sl = slice(first[g], first[g] + count[g])
+        k = np.log2(sz / diam[g])
+        assert abs(k - round(k)) < 1e-3
+        eps = sz / (1 << 21) + 1e-3
+        assert np.all(psn[sl].min(0) >= clo[g] - eps)
+        assert np.all(psn[sl].max(0) <= chi[g] + eps)
+        assert (psn[sl].max(0) - psn[sl].min(0)).max() <= diam[g] + eps
