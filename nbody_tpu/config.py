@@ -83,6 +83,11 @@ class SimConfig:
                                    # fraction of its LOCAL cell width
                                    # (forces.local_width) so fast-core
                                    # skins cannot flood the band caps
+    skin_width_floor: float = 2.0**-10  # floor the width feeding that cap
+                                   # at this fraction of the box (the
+                                   # 30-bit lattice cell) — without it one
+                                   # dense run under 63-bit codes pins the
+                                   # global-min validity horizon at 1
     hold_farmid: int = 1           # R: inside a reuse cycle, evaluate the
                                    # smooth far+mid bands once per R steps
                                    # (r-RESPA force splitting); the exact

@@ -249,12 +249,27 @@ def drift_bound(v: jax.Array, a: jax.Array, cfg: SimConfig, k: int) -> jax.Array
 _HORIZON_HEADROOM = 1.1
 
 
-def adaptive_drift(v, a, codes_s, box_size, cfg: SimConfig):
+def adaptive_drift(v, a, codes_s, box_size, cfg: SimConfig, k=None):
     """Width-capped per-particle skin envelopes (the adaptive runner's
     scheme): min(k-step travel bound, skin_width_cap * local Morton cell
-    width).  Keeps fast-core skins from flooding the band caps."""
-    drift_k = drift_bound(v, a, cfg, cfg.rebuild_every)
+    width).  Keeps fast-core skins from flooding the band caps.
+
+    `k` (traced ok) sizes the travel part; the adaptive runner passes its
+    SELF-TUNED envelope horizon (~2x the last validity horizon) instead
+    of the static cfg.rebuild_every: envelopes sized for 16 steps when
+    the hot state only ever achieves 1-2 inflate every MAC for nothing —
+    measured at the 1M hot state as ~10x the live band demand."""
+    if k is None:
+        k = cfg.rebuild_every
+    drift_k = drift_bound(v, a, cfg, k)
     w_loc = forces.local_width(codes_s, box_size, cfg.force_tile)
+    # floor the CAP (not the cells) at the 30-bit lattice width box/1024:
+    # 63-bit codes resolve run widths far below it, and letting one dense
+    # 32-run cap its members' envelopes at ~0 pins the GLOBAL-min validity
+    # horizon at 1 — per-step rebuilds everywhere (measured: 322 ms/step
+    # at the 1M IC vs 88 with the floor).  Skins keep exactly the round-2
+    # 30-bit semantics; only the cell/near-band geometry goes deeper.
+    w_loc = jnp.maximum(w_loc, box_size * cfg.skin_width_floor)
     return jnp.minimum(drift_k, cfg.skin_width_cap * w_loc)
 
 
@@ -315,14 +330,20 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
     def norms(x):
         return jnp.sqrt(jnp.sum(x * x, axis=1))
 
-    def rebuild(pos, vel, mass, acc, orig):
+    def rebuild(pos, vel, mass, acc, orig, k_env):
         codes_s, perm, _, size = sort_by_morton(pos, cfg)
         pos, vel, mass, acc, orig = (
             pos[perm], vel[perm], mass[perm], acc[perm], orig[perm]
         )
         v = norms(vel)
         a = norms(acc)
-        drift = adaptive_drift(v, a, codes_s, size, cfg)
+        # SELF-TUNED envelope horizon: skins sized for the reuse actually
+        # being achieved (~2x the last validity horizon, so calm epochs
+        # re-grow to the full K in a few rebuilds) instead of always K —
+        # a 16-step envelope inflates every MAC ~10x at the 1M hot state
+        # whose horizon is 1-2 steps (tools/_prof_capdemand.py)
+        drift = adaptive_drift(v, a, codes_s, size, cfg,
+                               k=k_env.astype(jnp.float32))
         _, supers, bands, tables = forces.build_bands(
             pos, mass, codes_s, cfg, drift=drift
         )
@@ -330,32 +351,38 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
         # carry only scalar checks (no per-step [N] reductions or
         # array-level triggers)
         s_valid = validity_horizon(v, a, drift, cfg)
-        return (pos, vel, mass, acc, orig, supers, bands, tables), s_valid
+        k_next = jnp.clip(2 * s_valid, 1, cfg.rebuild_every)
+        return (pos, vel, mass, acc, orig, supers, bands, tables), (
+            s_valid, k_next,
+        )
 
     def run(state: ParticleState) -> ParticleState:
         n = state.pos.shape[0]
         pos, vel, mass, acc, orig = _pad_cycle_state(state, cfg.force_tile)
-        built, s_valid = rebuild(pos, vel, mass, acc, orig)
+        built, (s_valid, k_env) = rebuild(
+            pos, vel, mass, acc, orig, jnp.int32(cfg.rebuild_every)
+        )
         afm0 = forces.apply_farmid(built[0], built[5], built[7], cfg)
         carry0 = (jnp.int32(0), s_valid, jnp.int32(0), jnp.int32(1),
-                  afm0) + built
+                  k_env, afm0) + built
 
         def cond_fn(s):
             return s[0] < n_steps
 
         def body(s):
-            i, left, afm_age, n_rb, afm = s[:5]
-            pos, vel, mass, acc, orig, supers, bands, tables = s[5:]
+            i, left, afm_age, n_rb, k_env, afm = s[:6]
+            pos, vel, mass, acc, orig, supers, bands, tables = s[6:]
 
             trig = left <= 0
             (pos, vel, mass, acc, orig, supers, bands,
-             tables), s_new = jax.lax.cond(
+             tables), (s_new, k_new) = jax.lax.cond(
                 trig,
-                lambda c: rebuild(*c[:5]),
-                lambda c: (c, jnp.int32(0)),
-                (pos, vel, mass, acc, orig, supers, bands, tables),
+                lambda c: rebuild(*c[:5], c[8]),
+                lambda c: (c[:8], (jnp.int32(0), c[8])),
+                (pos, vel, mass, acc, orig, supers, bands, tables, k_env),
             )
             left = jnp.where(trig, s_new, left)
+            k_env = k_new
             # refresh the held far+mid on rebuild or every R steps
             refresh = trig | (afm_age >= r)
             afm = jax.lax.cond(
@@ -371,11 +398,11 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
                 ParticleState(pos=pos, vel=vel, mass=mass, acc=a), a, cfg
             )
             return ((i + 1, left - 1, afm_age, n_rb + trig.astype(jnp.int32),
-                     afm, st.pos, st.vel, mass, a, orig,
+                     k_env, afm, st.pos, st.vel, mass, a, orig,
                      supers, bands, tables))
 
         out = jax.lax.while_loop(cond_fn, body, carry0)
-        pos, vel, mass, acc, orig = out[5:10]
+        pos, vel, mass, acc, orig = out[6:11]
         result = ParticleState(
             pos=jnp.zeros((n, 3), pos.dtype).at[orig].set(pos),
             vel=jnp.zeros((n, 3), vel.dtype).at[orig].set(vel),

@@ -106,7 +106,9 @@ def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
         None if drift is None
         else jax.lax.dynamic_slice_in_dim(drift, start, m, 0)
     )
-    tgt_subs = forces.target_subspheres(my_pos, b, drift=my_drift)
+    my_codes = jax.lax.dynamic_slice_in_dim(codes_s, start, m, 0)
+    tgt_subs = forces.target_subspheres(my_pos, b, drift=my_drift,
+                                        codes=my_codes)
     bands = forces.cell_band_lists(tgt_subs, supers, cells, cfg)
     tables = forces.build_cell_tables(cells, supers, bands)
     # config-5 invariant: classification output is the LOCAL slab only
@@ -160,12 +162,14 @@ def _reslab(perm, arrs, h: int):
 
 
 def _rebuild_sharded(pos, vel, mass, acc, orig, cfg: SimConfig, k: int,
-                     adaptive: bool):
+                     adaptive: bool, k_env=None):
     """One sharded band rebuild.  Inputs are slab rows of the current
     global sorted order; returns the re-slabbed state (new sorted order),
     the frozen band structures for MY slab, the replicated global sorted
-    (pos, mass) the near band and later rebuilds need, and the validity
-    horizon (adaptive) or k.
+    (pos, mass) the near band and later rebuilds need, and the
+    (validity horizon, next envelope horizon) pair (adaptive; `k_env`
+    sizes this rebuild's skins — the single-chip runner's self-tuned
+    envelope, models/simulation.make_adaptive_runner) or (k, k).
 
     Wire traffic: all_gather of pos (12 B/particle), mass (4 B) and
     (|v|, |a|) (8 B) — never the full 64 B/particle state — plus the
@@ -187,11 +191,15 @@ def _rebuild_sharded(pos, vel, mass, acc, orig, cfg: SimConfig, k: int,
     v = vam_g[perm, 0]
     a = vam_g[perm, 1]
     if adaptive:
-        drift = adaptive_drift(v, a, codes_s, box_size, cfg)
+        ke = (jnp.int32(cfg.rebuild_every) if k_env is None
+              else k_env).astype(jnp.float32)
+        drift = adaptive_drift(v, a, codes_s, box_size, cfg, k=ke)
         s_valid = validity_horizon(v, a, drift, cfg)
+        k_next = jnp.clip(2 * s_valid, 1, cfg.rebuild_every)
     else:
         drift = drift_bound(v, a, cfg, k)
         s_valid = jnp.int32(k)
+        k_next = jnp.int32(k)
 
     # re-slab the heavy per-particle rows (vel, acc, orig) locally
     h = max(cfg.force_tile, m // 4)
@@ -207,7 +215,7 @@ def _rebuild_sharded(pos, vel, mass, acc, orig, cfg: SimConfig, k: int,
         (my_pos, my_vel, my_mass, my_acc, my_orig),
         (supers, bands, tables),
         (pos_s, mass_s),
-        s_valid,
+        (s_valid, k_next),
     )
 
 
@@ -309,7 +317,7 @@ def _sharded_cycles_body(pos, vel, mass, acc, orig, cfg: SimConfig,
 
     def cycle(carry, _):
         pos, vel, mass, acc, orig = carry
-        (slab, (supers, bands, tables), (pos_s, mass_s), _s) = (
+        (slab, (supers, bands, tables), (pos_s, mass_s), _sk) = (
             _rebuild_sharded(pos, vel, mass, acc, orig, cfg, k,
                              adaptive=False)
         )
@@ -359,29 +367,30 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
 
     built0 = _rebuild_sharded(pos, vel, mass, acc, orig, cfg,
                               cfg.rebuild_every, adaptive=True)
-    slab0, frozen0, glob0, s_valid0 = built0
+    slab0, frozen0, glob0, (s_valid0, k_env0) = built0
     afm0 = _farmid_slab(slab0[0], frozen0[0], frozen0[2], cfg)
-    carry0 = (jnp.int32(0), s_valid0, jnp.int32(0), jnp.int32(1), afm0,
-              slab0, frozen0, glob0)
+    carry0 = (jnp.int32(0), s_valid0, jnp.int32(0), jnp.int32(1), k_env0,
+              afm0, slab0, frozen0, glob0)
 
     def cond_fn(s):
         return s[0] < n_steps
 
     def body(s):
-        i, left, afm_age, n_rb, afm, slab, frozen, glob = s
+        i, left, afm_age, n_rb, k_env, afm, slab, frozen, glob = s
 
         trig = left <= 0
 
         def do_rebuild(args):
-            slab, frozen, glob = args
-            new_slab, new_frozen, new_glob, s_new = _rebuild_sharded(
-                *slab, cfg, cfg.rebuild_every, adaptive=True
+            slab, frozen, glob, k_env = args
+            new_slab, new_frozen, new_glob, sk = _rebuild_sharded(
+                *slab, cfg, cfg.rebuild_every, adaptive=True, k_env=k_env
             )
-            return (new_slab, new_frozen, new_glob), s_new
+            return (new_slab, new_frozen, new_glob), sk
 
-        (slab, frozen, glob), s_new = jax.lax.cond(
-            trig, do_rebuild, lambda c: (c, jnp.int32(0)),
-            (slab, frozen, glob),
+        (slab, frozen, glob), (s_new, k_env) = jax.lax.cond(
+            trig, do_rebuild,
+            lambda c: (c[:3], (jnp.int32(0), c[3])),
+            (slab, frozen, glob, k_env),
         )
         left = jnp.where(trig, s_new, left)
 
@@ -403,10 +412,10 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
         )
         slab = (p2, v2, my_mass, a2, my_orig)
         return (i + 1, left - 1, afm_age, n_rb + trig.astype(jnp.int32),
-                afm, slab, frozen, glob)
+                k_env, afm, slab, frozen, glob)
 
     out = jax.lax.while_loop(cond_fn, body, carry0)
-    my_pos, my_vel, my_mass, my_acc, my_orig = out[5]
+    my_pos, my_vel, my_mass, my_acc, my_orig = out[6]
     return my_pos, my_vel, my_mass, my_acc, my_orig
 
 

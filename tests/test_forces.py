@@ -91,7 +91,7 @@ def _sorted_grouped(pos, mass, cfg):
 
 def _hierarchy(pos_s, mass_s, codes_s, cfg):
     cells, supers, bands, _ = forces.build_bands(pos_s, mass_s, codes_s, cfg)
-    tgt_subs = forces.target_subspheres(pos_s, cfg.force_tile)
+    tgt_subs = forces.target_subspheres(pos_s, cfg.force_tile, codes=codes_s)
     return cells, supers, tgt_subs, bands
 
 
@@ -130,7 +130,7 @@ def test_cell_band_partition_against_numpy(skin):
     cells, supers, bands, _ = forces.build_bands(
         pos_s, mass_s, codes_s, cfg, skin=skin
     )
-    tgt_subs = forces.target_subspheres(pos_s, cfg.force_tile)
+    tgt_subs = forces.target_subspheres(pos_s, cfg.force_tile, codes=codes_s)
     assert not bool(bands.sup_overflow)
     assert not bool(bands.mid_overflow)
     assert not bool(bands.cmid_overflow)
