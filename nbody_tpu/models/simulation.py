@@ -290,6 +290,145 @@ def validity_horizon(v, a, drift, cfg: SimConfig) -> jax.Array:
     )
 
 
+def _flat(x3: jax.Array) -> jax.Array:
+    return x3.reshape(-1)
+
+
+def _v3(xf: jax.Array) -> jax.Array:
+    return xf.reshape(-1, 3)
+
+
+def _adaptive_parts(cfg: SimConfig):
+    """The adaptive runner's building blocks, shared by the one-shot
+    runner (make_adaptive_runner) and the persistent stepper
+    (make_adaptive_stepper): (init_carry, body, extract).
+
+    The carry is (i, left, afm_age, n_rb, k_env, afm, pos, vel, mass,
+    acc, orig, supers, bands, tables) — everything a step needs, so it
+    can live on device across host calls.
+
+    MEMORY LAYOUT: the [N, 3] vector fields (pos, vel, acc, afm) are
+    carried FLAT as [3N].  XLA's TPU tiling pads an f32[N, 3] temp's
+    minor dim 3 -> 128 lanes (42.7x: 46 MB logical -> 1.9 GB at N=4M),
+    and the while-loop carry plus the rebuild's five per-field
+    permutation gathers materialize several such temps at once — the
+    measured single-chip 4M OOM (16.45G > 15.75G HBM, 43.7%
+    fragmentation).  1D carries are linear (never padded) and alias
+    across loop iterations; [N, 3] views are materialized only
+    transiently where an op needs them (Pallas operands, gathers)."""
+    r = max(1, cfg.hold_farmid)
+
+    def norms(x):
+        return jnp.sqrt(jnp.sum(x * x, axis=1))
+
+    def rebuild(posf, velf, mass, accf, orig, k_env):
+        pos = _v3(posf)
+        codes_s, perm, _, size = sort_by_morton(pos, cfg)
+        # ONE packed row-gather applies the Morton permutation to every
+        # per-particle field: row gathers cost ~4.4 ns/row regardless of
+        # width <= 128 (PERF.md) vs ~32 ns/particle for the five separate
+        # gathers this replaces, and it materializes one padded temp
+        # instead of five (int32 orig rides along bitcast to f32 — a
+        # gather moves bits, never arithmetic)
+        packed = jnp.concatenate(
+            [pos, _v3(velf), _v3(accf), mass[:, None],
+             jax.lax.bitcast_convert_type(orig, jnp.float32)[:, None]],
+            axis=1,
+        )                                                     # [Np, 11]
+        g = packed[perm]
+        pos, vel, acc = g[:, 0:3], g[:, 3:6], g[:, 6:9]
+        mass = g[:, 9]
+        orig = jax.lax.bitcast_convert_type(g[:, 10], jnp.int32)
+        v = norms(vel)
+        a = norms(acc)
+        # SELF-TUNED envelope horizon: skins sized for the reuse actually
+        # being achieved (~2x the last validity horizon, so calm epochs
+        # re-grow to the full K in a few rebuilds) instead of always K —
+        # a 16-step envelope inflates every MAC ~10x at the 1M hot state
+        # whose horizon is 1-2 steps (tools/_prof_capdemand.py)
+        drift = adaptive_drift(v, a, codes_s, size, cfg,
+                               k=k_env.astype(jnp.float32))
+        _, supers, bands, tables = forces.build_bands(
+            pos, mass, codes_s, cfg, drift=drift
+        )
+        # VALIDITY HORIZON computed ONCE here, so the steps in between
+        # carry only scalar checks (no per-step [N] reductions or
+        # array-level triggers)
+        s_valid = validity_horizon(v, a, drift, cfg)
+        # ENVELOPE FEEDBACK: if this build's skins pushed any band past
+        # its cap (graceful, but a standing theta violation for the
+        # overflowed pairs), halve the next envelope horizon instead of
+        # growing it — reuse length self-tunes to the largest skin the
+        # caps can absorb.  Caps are sized so live demand always fits
+        # (config.py), so k_next=1 (skinless) never overflows.
+        overflowed = (bands.sup_overflow | bands.mid_overflow
+                      | bands.cmid_overflow | bands.near_overflow)
+        k_next = jnp.where(
+            overflowed,
+            jnp.maximum(k_env // 2, 1),
+            jnp.clip(2 * s_valid, 1, cfg.rebuild_every),
+        )
+        return (_flat(pos), _flat(vel), mass, _flat(acc), orig,
+                supers, bands, tables), (s_valid, k_next)
+
+    def init_carry(state: ParticleState):
+        pos, vel, mass, acc, orig = _pad_cycle_state(state, cfg.force_tile)
+        built, (s_valid, k_env) = rebuild(
+            _flat(pos), _flat(vel), mass, _flat(acc), orig,
+            jnp.int32(cfg.rebuild_every)
+        )
+        afm0 = forces.apply_farmid(_v3(built[0]), built[5], built[7], cfg)
+        return (jnp.int32(0), s_valid, jnp.int32(0), jnp.int32(1),
+                k_env, _flat(afm0)) + built
+
+    def body(s):
+        i, left, afm_age, n_rb, k_env, afmf = s[:6]
+        posf, velf, mass, accf, orig, supers, bands, tables = s[6:]
+
+        trig = left <= 0
+        (posf, velf, mass, accf, orig, supers, bands,
+         tables), (s_new, k_new) = jax.lax.cond(
+            trig,
+            lambda c: rebuild(*c[:5], c[8]),
+            lambda c: (c[:8], (jnp.int32(0), c[8])),
+            (posf, velf, mass, accf, orig, supers, bands, tables, k_env),
+        )
+        left = jnp.where(trig, s_new, left)
+        k_env = k_new
+        pos = _v3(posf)
+        # refresh the held far+mid on rebuild or every R steps
+        refresh = trig | (afm_age >= r)
+        afmf = jax.lax.cond(
+            refresh,
+            lambda args: _flat(
+                forces.apply_farmid(_v3(args[0]), args[1], args[2], cfg)
+            ),
+            lambda args: afmf,
+            (posf, supers, tables),
+        )
+        afm_age = jnp.where(refresh, 1, afm_age + 1)
+
+        a = _v3(afmf) + forces.apply_near(pos, pos, mass, bands, cfg)
+        st = integ.integrate(
+            ParticleState(pos=pos, vel=_v3(velf), mass=mass, acc=a), a, cfg
+        )
+        return ((i + 1, left - 1, afm_age, n_rb + trig.astype(jnp.int32),
+                 k_env, afmf, _flat(st.pos), _flat(st.vel), mass,
+                 _flat(a), orig, supers, bands, tables))
+
+    def extract(carry, n: int, mass0: jax.Array) -> ParticleState:
+        posf, velf, mass, accf, orig = carry[6:11]
+        pos, vel, acc = _v3(posf), _v3(velf), _v3(accf)
+        return ParticleState(
+            pos=jnp.zeros((n, 3), pos.dtype).at[orig].set(pos),
+            vel=jnp.zeros((n, 3), vel.dtype).at[orig].set(vel),
+            mass=mass0,
+            acc=jnp.zeros((n, 3), acc.dtype).at[orig].set(acc),
+        )
+
+    return init_carry, body, extract
+
+
 def make_adaptive_runner(cfg: SimConfig, n_steps: int,
                          return_stats: bool = False):
     """A jittable function advancing a state by n_steps with ADAPTIVE,
@@ -324,96 +463,70 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
         every R = cfg.hold_farmid steps (r-RESPA hold), evaluated at the
         live positions; the exact near band is live every step.
     """
-    r = max(1, cfg.hold_farmid)
-    k = cfg.rebuild_every
-
-    def norms(x):
-        return jnp.sqrt(jnp.sum(x * x, axis=1))
-
-    def rebuild(pos, vel, mass, acc, orig, k_env):
-        codes_s, perm, _, size = sort_by_morton(pos, cfg)
-        pos, vel, mass, acc, orig = (
-            pos[perm], vel[perm], mass[perm], acc[perm], orig[perm]
-        )
-        v = norms(vel)
-        a = norms(acc)
-        # SELF-TUNED envelope horizon: skins sized for the reuse actually
-        # being achieved (~2x the last validity horizon, so calm epochs
-        # re-grow to the full K in a few rebuilds) instead of always K —
-        # a 16-step envelope inflates every MAC ~10x at the 1M hot state
-        # whose horizon is 1-2 steps (tools/_prof_capdemand.py)
-        drift = adaptive_drift(v, a, codes_s, size, cfg,
-                               k=k_env.astype(jnp.float32))
-        _, supers, bands, tables = forces.build_bands(
-            pos, mass, codes_s, cfg, drift=drift
-        )
-        # VALIDITY HORIZON computed ONCE here, so the steps in between
-        # carry only scalar checks (no per-step [N] reductions or
-        # array-level triggers)
-        s_valid = validity_horizon(v, a, drift, cfg)
-        k_next = jnp.clip(2 * s_valid, 1, cfg.rebuild_every)
-        return (pos, vel, mass, acc, orig, supers, bands, tables), (
-            s_valid, k_next,
-        )
+    init_carry, body, extract = _adaptive_parts(cfg)
 
     def run(state: ParticleState) -> ParticleState:
-        n = state.pos.shape[0]
-        pos, vel, mass, acc, orig = _pad_cycle_state(state, cfg.force_tile)
-        built, (s_valid, k_env) = rebuild(
-            pos, vel, mass, acc, orig, jnp.int32(cfg.rebuild_every)
-        )
-        afm0 = forces.apply_farmid(built[0], built[5], built[7], cfg)
-        carry0 = (jnp.int32(0), s_valid, jnp.int32(0), jnp.int32(1),
-                  k_env, afm0) + built
-
-        def cond_fn(s):
-            return s[0] < n_steps
-
-        def body(s):
-            i, left, afm_age, n_rb, k_env, afm = s[:6]
-            pos, vel, mass, acc, orig, supers, bands, tables = s[6:]
-
-            trig = left <= 0
-            (pos, vel, mass, acc, orig, supers, bands,
-             tables), (s_new, k_new) = jax.lax.cond(
-                trig,
-                lambda c: rebuild(*c[:5], c[8]),
-                lambda c: (c[:8], (jnp.int32(0), c[8])),
-                (pos, vel, mass, acc, orig, supers, bands, tables, k_env),
-            )
-            left = jnp.where(trig, s_new, left)
-            k_env = k_new
-            # refresh the held far+mid on rebuild or every R steps
-            refresh = trig | (afm_age >= r)
-            afm = jax.lax.cond(
-                refresh,
-                lambda args: forces.apply_farmid(args[0], args[1], args[2], cfg),
-                lambda args: afm,
-                (pos, supers, tables),
-            )
-            afm_age = jnp.where(refresh, 1, afm_age + 1)
-
-            a = afm + forces.apply_near(pos, pos, mass, bands, cfg)
-            st = integ.integrate(
-                ParticleState(pos=pos, vel=vel, mass=mass, acc=a), a, cfg
-            )
-            return ((i + 1, left - 1, afm_age, n_rb + trig.astype(jnp.int32),
-                     k_env, afm, st.pos, st.vel, mass, a, orig,
-                     supers, bands, tables))
-
-        out = jax.lax.while_loop(cond_fn, body, carry0)
-        pos, vel, mass, acc, orig = out[6:11]
-        result = ParticleState(
-            pos=jnp.zeros((n, 3), pos.dtype).at[orig].set(pos),
-            vel=jnp.zeros((n, 3), vel.dtype).at[orig].set(vel),
-            mass=state.mass,
-            acc=jnp.zeros((n, 3), acc.dtype).at[orig].set(acc),
-        )
+        carry0 = init_carry(state)
+        out = jax.lax.while_loop(lambda s: s[0] < n_steps, body, carry0)
+        result = extract(out, state.pos.shape[0], state.mass)
         if return_stats:
             return result, out[3]  # (state, rebuild count incl. the initial)
         return result
 
     return run
+
+
+class AdaptiveStepper:
+    """Persistent-carry adaptive runner for INTERACTIVE use.
+
+    `Simulation.run_scan` re-enters make_adaptive_runner on every host
+    call, and that runner's first act is a full band rebuild — correct
+    for one-shot batch runs, but a live viewer stepping a few steps per
+    frame would pay a rebuild per frame (the dominant cost: ~90 ms at
+    500k vs ~30 ms for the steps themselves).  This class keeps the
+    runner's carry (positions in Morton order, frozen band structures,
+    validity countdown, held far+mid force) resident on device across
+    host calls, so rebuilds happen exactly when the adaptive physics
+    demands them — identical math to make_adaptive_runner, just split
+    at host-call boundaries (tested bit-identical in test_simulation).
+    """
+
+    def __init__(self, cfg: SimConfig, state: ParticleState):
+        init_carry, body, _extract = _adaptive_parts(cfg)
+        self.cfg = cfg
+        self._n = state.pos.shape[0]
+        self._mass0 = state.mass
+        self._extract = jax.jit(functools.partial(_extract, n=self._n))
+
+        @functools.partial(jax.jit, static_argnums=1)
+        def advance(carry, n_steps: int):
+            carry = (jnp.int32(0),) + tuple(carry[1:])
+            return jax.lax.while_loop(
+                lambda s: s[0] < n_steps, body, carry
+            )
+
+        self._advance = advance
+        self.carry = jax.jit(init_carry)(state)
+        self.steps_done = 0
+
+    def advance(self, n_steps: int) -> None:
+        self.carry = self._advance(self.carry, n_steps)
+        self.steps_done += n_steps
+
+    @property
+    def pos_sorted(self) -> jax.Array:
+        """Live positions in the runner's internal Morton order (padded
+        with clones of the last particle) — enough for rendering without
+        the scatter back to original order."""
+        return _v3(self.carry[6])
+
+    @property
+    def vel_sorted(self) -> jax.Array:
+        return _v3(self.carry[7])
+
+    def snapshot(self) -> ParticleState:
+        """Full state in original particle order (for dumps/checkpoints)."""
+        return self._extract(self.carry, mass0=self._mass0)
 
 
 class Simulation:
@@ -571,6 +684,16 @@ class Simulation:
         if rem:
             state = self._cycles(1, rem)(state)
         return state
+
+    def make_stepper(self, state: ParticleState) -> Optional[AdaptiveStepper]:
+        """A persistent-carry stepper for interactive/viewer use, or None
+        when the config has no reusable band state (direct method,
+        per-step rebuilds, or fixed-K cycles).  See AdaptiveStepper."""
+        if (self.method == "barnes_hut" and self.cfg.adaptive_rebuild
+                and self.cfg.rebuild_every > 1):
+            self._check_overflow(state)
+            return AdaptiveStepper(self.cfg, state)
+        return None
 
     def _cycles(self, n_cycles: int, k: int):
         key = ("cycles", n_cycles, k)

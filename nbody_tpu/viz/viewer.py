@@ -79,6 +79,16 @@ class SimViewer:
         self.steps_per_frame = max(1, steps_per_frame)
         self.jpeg_quality = jpeg_quality
         self.camera = OrbitCamera(cfg)
+        # persistent-carry stepper: band structures survive across frames,
+        # so a frame pays a rebuild only when the adaptive physics demands
+        # one — run_scan would re-init (= rebuild) every frame (measured
+        # at 500k: the difference between ~5 and ~11 view FPS)
+        self._stepper = None
+        if hasattr(sim, "make_stepper"):
+            try:
+                self._stepper = sim.make_stepper(state)
+            except Exception:
+                self._stepper = None
         self.step_count = 0
         self.ms_per_step = 0.0
         self._lock = threading.Lock()          # camera + stats
@@ -91,7 +101,14 @@ class SimViewer:
     def _encode(self, frame) -> bytes:
         from PIL import Image
 
-        img = (np.asarray(frame) * 255.0).astype(np.uint8)
+        # quantize to uint8 ON DEVICE: the host fetch of a 1280x720 frame
+        # then moves 2.7 MB instead of 11 MB of f32 — the tunnelled D2H
+        # link is the live-view bottleneck (measured at 500k: the fetch,
+        # not the sim step, dominated the frame time)
+        import jax.numpy as jnp
+
+        q = jnp.clip(frame * 255.0, 0.0, 255.0).astype(jnp.uint8)
+        img = np.asarray(q)
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, "JPEG", quality=self.jpeg_quality)
         return buf.getvalue()
@@ -101,12 +118,21 @@ class SimViewer:
 
         while not self._stop.is_set():
             t0 = time.perf_counter()
-            self.state = self.sim.run_scan(self.state, self.steps_per_frame)
+            if self._stepper is not None:
+                self._stepper.advance(self.steps_per_frame)
+                # render straight from the stepper's Morton-ordered
+                # arrays (padding rows clone the last particle — visually
+                # nothing); the scatter back to original order is paid
+                # only on stop()/snapshot
+                pos, vel = self._stepper.pos_sorted, self._stepper.vel_sorted
+            else:
+                self.state = self.sim.run_scan(self.state, self.steps_per_frame)
+                pos, vel = self.state.pos, self.state.vel
             with self._lock:
                 d, rx, ry = (self.camera.distance, self.camera.rot_x,
                              self.camera.rot_y)
             frame = render_frame(
-                self.state.pos, self.state.vel, d, rx, ry,
+                pos, vel, d, rx, ry,
                 self.cfg.render_width, self.cfg.render_height,
                 self.mode, self.exposure,
             )
@@ -127,6 +153,10 @@ class SimViewer:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=30)
+        if self._stepper is not None:
+            # fold the stepper's device-resident progress back into
+            # .state (original particle order) for dumps/inspection
+            self.state = self._stepper.snapshot()
 
     # --- HTTP side ------------------------------------------------------
     def wait_frame(self, timeout: float = 60.0) -> bytes:

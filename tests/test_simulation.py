@@ -177,6 +177,34 @@ def test_adaptive_runner_tracks_per_step_rebuild():
     )
 
 
+def test_adaptive_stepper_matches_runner():
+    """The persistent-carry stepper (viewer path) split across several
+    host calls must be BIT-IDENTICAL to the one-shot adaptive runner:
+    same rebuild triggers, same held far+mid, same integration — the
+    carry is the same, only the host-call boundaries differ."""
+    n = 2048
+    cfg = SimConfig(n=n, force_tile=256, use_pallas=False,
+                    rebuild_every=16, hold_farmid=4,
+                    sup_cap=64, mid_cap=256, cmid_cap=512, near_cap=512,
+                    check_overflow=False)
+    state = disk_galaxy_jax(n, seed=7, g=cfg.g)
+    sim = Simulation(cfg, method="barnes_hut")
+    out = sim.run_scan(state, 13)
+
+    stepper = sim.make_stepper(state)
+    assert stepper is not None
+    for k in (5, 5, 3):          # 13 steps over three uneven calls
+        stepper.advance(k)
+    snap = stepper.snapshot()
+    np.testing.assert_array_equal(np.asarray(snap.pos), np.asarray(out.pos))
+    np.testing.assert_array_equal(np.asarray(snap.vel), np.asarray(out.vel))
+    np.testing.assert_array_equal(np.asarray(snap.mass), np.asarray(state.mass))
+    # rendering path: sorted views exist, padded to the force tile
+    assert stepper.pos_sorted.shape[0] % cfg.force_tile == 0
+    # no reusable state => no stepper
+    assert Simulation(cfg.replace(rebuild_every=1)).make_stepper(state) is None
+
+
 def test_local_width_tracks_density():
     """forces.local_width: dense regions must get smaller local widths
     than sparse ones, and widths lie within the Morton lattice range."""
