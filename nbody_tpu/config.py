@@ -45,26 +45,50 @@ class SimConfig:
                                    # demand) or 30 (v5 sort-key parity,
                                    # 10 levels)
     force_tile: int = 256          # particles per force group (B)
+    # Band caps sized from MEASURED demand (tools/_prof_capdemand.py at 1M,
+    # IC and after 1024 steps): live maxima sup 227 / mid 272 / cmid 463 /
+    # near 357, and near-IC 16-step reuse skins push near to ~973.  The
+    # caps below cover all of it, so the headline bench runs with
+    # overflow_bands=false; overflow remains GRACEFUL (coarser monopole)
+    # if an unforeseen state exceeds them, and the adaptive runner then
+    # shrinks its envelope horizon until demand fits (k_env feedback,
+    # models/simulation.py).
     sup_cap: int = 256             # max MAC-failing supers per target
                                    # (each refines to 8 cells; overflow
                                    # flagged)
-    mid_cap: int = 192             # max failing cells per target (each
+    mid_cap: int = 320             # max failing cells per target (each
                                    # refines to 8 children; overflow
                                    # flagged)
-    cmid_cap: int = 192            # max failing children per target that
+    cmid_cap: int = 512            # max failing children per target that
                                    # refine to grandchild monopoles
                                    # (overflow flagged)
-    near_cap: int = 256            # max near-band (exact P2P) source
+    near_cap: int = 1024           # max near-band (exact P2P) source
                                    # children per target (overflow flagged)
+    win_cap: int = 512             # max DISTINCT deduplicated P2P source
+                                   # windows per target (measured demand
+                                   # max 345 at the 1M hot state with
+                                   # 16-step skins, ~28-34 mean).  Beyond
+                                   # it, trailing near children are
+                                   # dropped WITH their anti-rows (they
+                                   # keep their own child monopole —
+                                   # graceful), flagged as near overflow.
+                                   # Sized well under 2*near_cap because
+                                   # the near kernel DMAs its window rows
+                                   # into SMEM per target: 2*near_cap
+                                   # slots quadrupled that row DMA and
+                                   # cost ~10 ms/step at 1M
     cell_cap_factor: int = 4       # adaptive-cell capacity multiplier:
                                    # capacity = factor * ceil(n/force_tile)
                                    # (measured n_cells ~= 2.7 * n/force_tile
                                    # at 1M, IC and hot states alike)
-    g2_cap_factor: int = 3         # grandchild segment capacity as a
+    g2_cap_factor: int = 4         # grandchild segment capacity as a
                                    # multiple of the child capacity
-                                   # (structural max 8; ~2-4 live); every
-                                   # rebuild pays gather traffic
-                                   # proportional to this cap
+                                   # (structural max 8; measured demand
+                                   # 384k vs 3*c_cap=376k at the 1M IC —
+                                   # factor 3 tripped the graceful
+                                   # overflow and sent those children to
+                                   # exact P2P); every rebuild pays gather
+                                   # traffic proportional to this cap
     use_pallas: bool = True        # Pallas force kernels vs pure-jnp
     rebuild_every: int = 1         # K: rebuild sort/cells/bands every K
                                    # steps; between rebuilds the frozen
@@ -156,6 +180,12 @@ class SimConfig:
     def n_groups(self) -> int:
         """Target blocks after padding to a force_tile multiple."""
         return -(-self.n // self.force_tile)
+
+    @property
+    def win_cap_eff(self) -> int:
+        """Effective per-target window-slot cap: 2*near_cap (two pieces
+        per child) is the structural maximum, so win_cap clamps to it."""
+        return min(self.win_cap, 2 * self.near_cap)
 
     @property
     def cell_capacity(self) -> int:

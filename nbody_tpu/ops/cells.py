@@ -198,13 +198,15 @@ def _sliding_cut_depth(lcp: jax.Array, b: int, max_depth: int) -> jax.Array:
     if n <= b:
         return jnp.zeros((n,), _I32)
     big = jnp.int32(64)
-    # W(x) = min lcp[x .. x+b-1], valid for x in [1, n-b]
+    # W(x) = min lcp[x .. x+b-1], valid for x in [1, n-b].  All the
+    # shifted reads below are STATIC SLICES (x is an affine range), never
+    # index-array gathers — an iota gather costs ~9 ns/element on TPU
+    # (measured: the gather form made this function ~3x slower).
     padw = (-n) % b if b > 1 else 0
     lp = jnp.concatenate([lcp, jnp.full((padw,), big, _I32)]) if padw else lcp
     pre = _block_cummin(lp, b, False)
     suf = _block_cummin(lp, b, True)
-    x = jnp.arange(n - b, dtype=_I32) + 1
-    w_min = jnp.minimum(suf[x], pre[x + b - 1])          # [n-b]
+    w_min = jnp.minimum(suf[1:n - b + 1], pre[b:n])      # [n-b], W(x+1)
     # M[s] = W(s+1) for s in [0, n-1-b]; L(i) = max over the width-(b+1)
     # window Mp[i .. i+b] where Mp[j] = M[j-b], out-of-range s -> -1
     wv = b + 1
@@ -214,8 +216,7 @@ def _sliding_cut_depth(lcp: jax.Array, b: int, max_depth: int) -> jax.Array:
     ])
     pre_m = _block_cummax(mp, wv, False)
     suf_m = _block_cummax(mp, wv, True)
-    i = jnp.arange(n, dtype=_I32)
-    l_val = jnp.maximum(suf_m[i], pre_m[i + b])
+    l_val = jnp.maximum(suf_m[:n], pre_m[b:n + b])
     return jnp.where(l_val < 0, 0, l_val // 3 + 1)
 
 
@@ -476,12 +477,22 @@ def build_source_cells(
 
     valid_g = g_count > 0
     slot_c, kid_ok, _ = regroup(g_first, g_count, chd_id, c_cap, n_child)
-    child_com = jnp.where(kid_ok[..., None], c_com[slot_c], 0.0)
-    child_gm = jnp.where(kid_ok, c_gm[slot_c], 0.0)
-    child_diam = jnp.where(kid_ok, c_diam[slot_c], 0.0)
-    child_skin = jnp.where(kid_ok, c_skin[slot_c], 0.0)
-    child_first = jnp.where(kid_ok, c_first[slot_c], 0)
-    child_count = jnp.where(kid_ok, c_count[slot_c], 0)
+    # ONE packed row-gather per regroup level: separate 1D gathers cost
+    # ~9.3 ns/element on TPU vs ~4.4 ns/ROW for packed rows (PERF.md) —
+    # measured ~23 ms of the 1M cell build before packing.  int32 fields
+    # ride along bitcast to f32 (gathers move bits, never arithmetic).
+    childf = jnp.concatenate(
+        [c_com, c_gm[:, None], c_diam[:, None], c_skin[:, None],
+         lax.bitcast_convert_type(c_first, jnp.float32)[:, None],
+         lax.bitcast_convert_type(c_count, jnp.float32)[:, None]], axis=1,
+    )                                                            # [Cc, 8]
+    cg = jnp.where(kid_ok[..., None], childf[slot_c], 0.0)       # [Gc, 8, 8]
+    child_com = cg[..., 0:3]
+    child_gm = cg[..., 3]
+    child_diam = cg[..., 4]
+    child_skin = cg[..., 5]
+    child_first = lax.bitcast_convert_type(cg[..., 6], _I32)
+    child_count = lax.bitcast_convert_type(cg[..., 7], _I32)
 
     # grandchildren: regroup c2 segments under each FLAT child, then lift
     # to [Gc, 8, 8] through the cell->child slots.  (The child level is
@@ -490,10 +501,13 @@ def build_source_cells(
     # is reachable; `complete` marks the children whose grandchildren all
     # fit, the only ones the classifier may refine to grandchildren.)
     slot_2, ok_2, complete_2 = regroup(c_first, c_count, g2_id, c2_cap, n_g2)
-    gc_com_f = jnp.where(ok_2[..., None], c2_com[slot_2], 0.0)   # [Cc, 8, 3]
-    gc_gm_f = jnp.where(ok_2, c2_gm[slot_2], 0.0)                # [Cc, 8]
-    gc_diam_f = jnp.where(ok_2, c2_diam[slot_2], 0.0)
-    gdm_f = jnp.max(gc_diam_f, axis=1)                           # [Cc]
+    g2f = jnp.concatenate(
+        [c2_com, c2_gm[:, None], c2_diam[:, None]], axis=1
+    )                                                            # [C2, 5]
+    g2g = jnp.where(ok_2[..., None], g2f[slot_2], 0.0)           # [Cc, 8, 5]
+    gc_com_f = g2g[..., 0:3]
+    gc_gm_f = g2g[..., 3]
+    gdm_f = jnp.max(g2g[..., 4], axis=1)                         # [Cc]
     gchild_com = jnp.where(kid_ok[..., None, None], gc_com_f[slot_c], 0.0)
     gchild_gm = jnp.where(kid_ok[..., None], gc_gm_f[slot_c], 0.0)
     gchild_dm = jnp.where(kid_ok, gdm_f[slot_c], 0.0)

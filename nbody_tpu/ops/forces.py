@@ -372,10 +372,13 @@ class CellBands(NamedTuple):
     cmid_cnt: jax.Array
     near_idx: jax.Array   # [T, near_cap] int32 child ids (pad: 8*g_cap)
     near_cnt: jax.Array
-    win_first: jax.Array  # [T, 2*near_cap] int32 SPAN_ALIGN-aligned
+    win_first: jax.Array  # [T, win_cap] int32 SPAN_ALIGN-aligned
                           # window starts in the sorted order, distinct
-                          # per target, live-prefix packed (pad: 0)
-    win_mask: jax.Array   # [T, 4, 2*near_cap] int32 — 128-bit lane
+                          # per target, live-prefix packed (pad: 0);
+                          # children past win_cap windows are dropped
+                          # with their anti-rows (graceful, see
+                          # _window_masks)
+    win_mask: jax.Array   # [T, 4, win_cap] int32 — 128-bit lane
                           # validity mask per window (word w covers lanes
                           # [32w, 32w+32); pad windows are all-zero)
     win_cnt: jax.Array    # [T] int32 live window count
@@ -405,34 +408,79 @@ def _lowmask(k):
     return jnp.where(k >= 32, jnp.int32(-1), shifted)
 
 
-def _window_masks(first, count):
-    """Convert spans to deduplicated (aligned window, 128-bit mask) pairs.
+def _window_masks(first, count, win_cap: int):
+    """Convert near-child runs to deduplicated (aligned window, 128-bit
+    mask) pairs, capped at win_cap DISTINCT windows per row.
 
-    first, count: [R, K] int32 spans, each lying inside ONE aligned
-    SPAN_ALIGN-wide window (callers split at window boundaries first);
-    invalid entries count == 0.  Returns (win_first [R, K] aligned starts,
-    win_mask [R, 4, K] lane-validity words, win_cnt [R]) with live windows
-    packed first and DISTINCT per row: spans sharing a window OR their
-    masks into one entry.  Spans are disjoint particle ranges, so the OR
-    never double-counts a lane, and no window is ever dropped (a dropped
-    one would lose exact P2P while keeping its anti-row).
+    first, count: [R, K] int32 child runs in ASCENDING, DISJOINT particle
+    order (live-prefix packed; pad entries count == 0 at the end) — the
+    order _row_compact_two guarantees.  Returns (win_first [R, win_cap]
+    aligned starts, win_mask [R, 4, win_cap] lane-validity words,
+    win_cnt [R], kept_children [R], dropped [R] bool) with live windows
+    packed first and DISTINCT per row: pieces sharing a window OR their
+    masks into one entry.  Runs are disjoint particle ranges, so the OR
+    never double-counts a lane.
+
+    WIN CAP SEMANTICS (graceful): window ranks are monotone in child
+    order, so the children whose windows exceed win_cap form a SUFFIX of
+    the near list.  Those children are dropped WHOLLY — their pieces'
+    masks are zeroed BEFORE the OR merge and the caller must drop the
+    same children's anti-rows (truncate near_cnt to kept_children), so a
+    dropped child simply keeps its own child monopole: a local theta
+    violation, never a missing or double-counted force.
+
+    Structure exploited (saves a full [R, 2K] multi-array sort): a run
+    splits at its single SPAN_ALIGN boundary, so piece 2's window is
+    always piece 1's + 1, and with runs ascending the INTERLEAVED key
+    sequence [w_0, w_0+1, w_1, w_1+1, ...] is non-decreasing (if run i
+    crossed a boundary, run i+1 starts past it, so w_{i+1} >= w_i + 1; a
+    dead piece 2 takes its own run's w_i as a zero-mask duplicate).
+    Equal windows are therefore already adjacent: dedup is an
+    adjacent-compare + segmented OR, and only the final PACK pays a sort.
     """
     big = jnp.iinfo(jnp.int32).max // 2 * 2
     w = first // SPAN_ALIGN
     off = lax.rem(first, SPAN_ALIGN)
-    end = off + count
-    words = tuple(
-        _lowmask(end - 32 * j) & ~_lowmask(off - 32 * j) for j in range(4)
+    c1 = jnp.minimum(count, SPAN_ALIGN - off)
+    c2 = count - c1
+    live1 = count > 0
+    live2 = c2 > 0
+    key1 = jnp.where(live1, w, big)
+    # dead piece 2 duplicates its run's window with an all-zero mask so
+    # the interleaved sequence stays non-decreasing
+    key2 = jnp.where(live2, w + 1, key1)
+    end1 = off + c1
+    words1 = tuple(
+        jnp.where(live1, _lowmask(end1 - 32 * j) & ~_lowmask(off - 32 * j), 0)
+        for j in range(4)
     )
-    words = tuple(jnp.where(count > 0, m, 0) for m in words)
-    key = jnp.where(count > 0, w, big)
-    key, m0, m1, m2, m3 = lax.sort((key, *words), dimension=1, num_keys=1)
-    # segmented OR over equal-key runs; the run's LAST entry accumulates
-    # the full mask, then a second sort packs the kept entries first
+    words2 = tuple(jnp.where(live2, _lowmask(c2 - 32 * j), 0) for j in range(4))
+
+    r = first.shape[0]
+    k = first.shape[1]
+
+    def inter(a, b):
+        return jnp.stack([a, b], axis=-1).reshape(r, -1)
+
+    key = inter(key1, key2)                                   # [R, 2K]
+    m0, m1, m2, m3 = (inter(a, b) for a, b in zip(words1, words2))
     bnd = jnp.concatenate(
         [jnp.ones_like(key[:, :1], bool), key[:, 1:] != key[:, :-1]], axis=1
     )
+    # rank of each piece's window = index of its run (keys non-decreasing
+    # => runs are distinct windows in order); ranks only need the keys,
+    # so the win-cap child drop zeroes masks BEFORE the OR merge
+    rank = jnp.cumsum(bnd.astype(_I32), axis=1) - 1           # [R, 2K]
+    child_rank = rank[:, 1::2]                                # last piece of child i
+    child_live = count > 0
+    child_drop = child_live & (child_rank >= win_cap)
+    kept_children = jnp.sum((child_live & ~child_drop).astype(_I32), axis=1)
+    dropped = jnp.any(child_drop, axis=1)
+    drop_pos = jnp.repeat(child_drop, 2, axis=1)              # [R, 2K]
+    m0, m1, m2, m3 = (jnp.where(drop_pos, 0, m) for m in (m0, m1, m2, m3))
 
+    # segmented OR over equal-adjacent keys; the run's LAST entry
+    # accumulates the full mask, then one sort packs the kept entries
     def comb(a, b):
         fa, fb = a[0], b[0]
         rest = tuple(
@@ -446,15 +494,17 @@ def _window_masks(first, count):
     last = jnp.concatenate(
         [key[:, :-1] != key[:, 1:], jnp.ones_like(key[:, :1], bool)], axis=1
     )
-    keep = jnp.where(last & (key < big), key, big)
+    keep = jnp.where(last & (key < big) & (rank < win_cap), key, big)
     keep, m0, m1, m2, m3 = lax.sort((keep, m0, m1, m2, m3), dimension=1,
                                     num_keys=1)
+    keep, m0, m1, m2, m3 = (x[:, :win_cap] for x in (keep, m0, m1, m2, m3))
     live = keep < big
     win_first = jnp.where(live, keep * SPAN_ALIGN, 0)
     win_mask = jnp.stack(
         [jnp.where(live, m, 0) for m in (m0, m1, m2, m3)], axis=1
     )
-    return win_first, win_mask, jnp.sum(live.astype(_I32), axis=1)
+    return (win_first, win_mask, jnp.sum(live.astype(_I32), axis=1),
+            kept_children, dropped)
 
 
 def _row_compact_two(key_lo, key_hi, big, cap_lo, cap_hi):
@@ -462,23 +512,25 @@ def _row_compact_two(key_lo, key_hi, big, cap_lo, cap_hi):
 
     key_lo/key_hi: [C, K] int32 keys, `big` for absent.  Returns
     (lo_idx, lo_cnt, hi_idx, hi_cnt) with hi keys de-offset by `big//2`.
-    (Scatter-based compaction measured ~6x slower at panel scale.)
+    Each class gets its OWN packing sort: the earlier merged-sort variant
+    extracted the hi class at a dynamic row offset with take_along_axis —
+    a ~9 ns/element gather that dominated the whole classification stage
+    once cap_hi grew to the demand-sized near cap (measured +37 ms at
+    1M).  (Scatter-based compaction measured ~6x slower still.)
     """
-    c = key_lo.shape[0]
-    merged = jnp.minimum(key_lo, key_hi)
-    skey = lax.sort(merged, dimension=1)
-    lo_cnt = jnp.sum((key_lo < big).astype(_I32), axis=1)
-    hi_cnt = jnp.sum((key_hi < big).astype(_I32), axis=1)
-    width = skey.shape[1]
-    extra = max(0, cap_lo + cap_hi - width)
-    if extra:
-        skey = jnp.pad(skey, ((0, 0), (0, extra)), constant_values=big)
-    lane_l = jnp.arange(cap_lo, dtype=_I32)[None, :]
-    lo_idx = jnp.where(lane_l < lo_cnt[:, None], skey[:, :cap_lo], big)
-    lane_h = jnp.arange(cap_hi, dtype=_I32)[None, :]
-    pick = jnp.clip(lo_cnt[:, None] + lane_h, 0, skey.shape[1] - 1)
-    hi_idx = jnp.take_along_axis(skey, pick, axis=1) - big // 2
-    hi_idx = jnp.where(lane_h < hi_cnt[:, None], hi_idx, big)
+    def one(key, cap):
+        skey = lax.sort(key, dimension=1)
+        cnt = jnp.sum((key < big).astype(_I32), axis=1)
+        if cap > skey.shape[1]:
+            skey = jnp.pad(skey, ((0, 0), (0, cap - skey.shape[1])),
+                           constant_values=big)
+        lane = jnp.arange(cap, dtype=_I32)[None, :]
+        idx = jnp.where(lane < cnt[:, None], skey[:, :cap], big)
+        return idx, cnt
+
+    lo_idx, lo_cnt = one(key_lo, cap_lo)
+    hi_idx, hi_cnt = one(key_hi, cap_hi)
+    hi_idx = jnp.where(hi_idx < big, hi_idx - big // 2, big)
     return lo_idx, lo_cnt, hi_idx, hi_cnt
 
 
@@ -649,31 +701,33 @@ def cell_band_lists(
         key_n = jnp.where(near_m, kid_id + big // 2, big)
         ci, cc, ni, nc = _row_compact_two(key_c, key_n, big, cmid_cap, near_cap)
 
-        # near windows: child (first, count) runs SPLIT at SPAN_ALIGN
-        # boundaries (2*near_cap slots hold the worst case of two pieces
-        # per child, so no piece is ever dropped — a dropped piece would
-        # lose exact P2P while keeping the anti-row), then converted to
-        # per-window 128-bit lane masks with same-window pieces OR-merged:
-        # the P2P kernel DMAs each DISTINCT window once.
+        # near windows: each child's contiguous run splits at its single
+        # SPAN_ALIGN boundary into <= 2 pieces, converted to per-window
+        # 128-bit lane masks with same-window pieces OR-merged: the P2P
+        # kernel DMAs each DISTINCT window once.  near_idx is ascending
+        # (_row_compact_two), so child runs arrive in the ascending
+        # disjoint order _window_masks exploits.  Children whose windows
+        # exceed cfg.win_cap are dropped as a SUFFIX together with their
+        # anti-rows (near count truncated to kept, ids -> pad): they keep
+        # their own child monopole — graceful, flagged as near overflow.
         ni_safe = jnp.minimum(ni, k_cap)
         sf = cf_flat[ni_safe]
         scnt = cc_flat[ni_safe]
-        room = SPAN_ALIGN - lax.rem(sf, SPAN_ALIGN)
-        c1 = jnp.minimum(scnt, room)
-        f_all = jnp.concatenate([sf, sf + c1], axis=1)
-        c_all = jnp.concatenate([c1, scnt - c1], axis=1)
-        wf, wm, win_cnt = _window_masks(f_all, c_all)
+        wf, wm, win_cnt, kept, dropped = _window_masks(sf, scnt, cfg.win_cap_eff)
+        nc_k = jnp.minimum(jnp.minimum(nc, near_cap), kept)
+        lane_n = jnp.arange(near_cap, dtype=_I32)[None, :]
+        ni_safe = jnp.where(lane_n < nc_k[:, None], ni_safe, k_cap)
 
         return (
             jnp.minimum(sup_idx, n_sup), jnp.minimum(sup_cnt, s_cap),
             jnp.minimum(mid_idx, g_cap), jnp.minimum(mc_raw, mid_cap),
             jnp.minimum(ci, k_cap), jnp.minimum(cc, cmid_cap),
-            ni_safe, jnp.minimum(nc, near_cap),
+            ni_safe, nc_k,
             wf, wm, win_cnt,
             jnp.any(real & (sup_cnt > s_cap)),
             jnp.any(real & (mc_raw > mid_cap)),
             jnp.any(real & (cc > cmid_cap)),
-            jnp.any(real & (nc > near_cap)),
+            jnp.any(real & ((nc > near_cap) | dropped)),
         )
 
     res = lax.map(
@@ -693,8 +747,8 @@ def cell_band_lists(
         cmid_cnt=cc.reshape(t_pad)[:t],
         near_idx=ni.reshape(t_pad, near_cap)[:t],
         near_cnt=nc.reshape(t_pad)[:t],
-        win_first=sf.reshape(t_pad, 2 * near_cap)[:t],
-        win_mask=scnt.reshape(t_pad, 4, 2 * near_cap)[:t],
+        win_first=sf.reshape(t_pad, cfg.win_cap_eff)[:t],
+        win_mask=scnt.reshape(t_pad, 4, cfg.win_cap_eff)[:t],
         win_cnt=spc.reshape(t_pad)[:t],
         sup_overflow=jnp.any(so),
         mid_overflow=jnp.any(mo),

@@ -191,8 +191,8 @@ def _rebuild_sharded(pos, vel, mass, acc, orig, cfg: SimConfig, k: int,
     v = vam_g[perm, 0]
     a = vam_g[perm, 1]
     if adaptive:
-        ke = (jnp.int32(cfg.rebuild_every) if k_env is None
-              else k_env).astype(jnp.float32)
+        ke_i = (jnp.int32(cfg.rebuild_every) if k_env is None else k_env)
+        ke = ke_i.astype(jnp.float32)
         drift = adaptive_drift(v, a, codes_s, box_size, cfg, k=ke)
         s_valid = validity_horizon(v, a, drift, cfg)
         k_next = jnp.clip(2 * s_valid, 1, cfg.rebuild_every)
@@ -209,6 +209,15 @@ def _rebuild_sharded(pos, vel, mass, acc, orig, cfg: SimConfig, k: int,
     cells, supers, bands, tables, my_pos = _classify_slab(
         pos_s, mass_s, codes_s, cfg, drift=drift
     )
+    if adaptive:
+        # ENVELOPE FEEDBACK (single-chip twin in models/simulation.py):
+        # bands are slab-local, so the overflow predicate is psum'd — a
+        # REPLICATED scalar keeps every chip's envelope horizon and
+        # rebuild countdown in lockstep
+        over_l = (bands.sup_overflow | bands.mid_overflow
+                  | bands.cmid_overflow | bands.near_overflow)
+        over_g = jax.lax.psum(over_l.astype(jnp.int32), AXIS) > 0
+        k_next = jnp.where(over_g, jnp.maximum(ke_i // 2, 1), k_next)
     start = me * m
     my_mass = jax.lax.dynamic_slice_in_dim(mass_s, start, m, 0)
     return (

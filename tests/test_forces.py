@@ -404,3 +404,67 @@ def test_g2_cap_overflow_is_graceful():
     rel_ok = np.linalg.norm(acc_ok - acc_dir, axis=1) / den
     assert np.median(rel) < np.median(rel_ok) * 1.1 + 1e-6
     assert np.max(rel) < max(np.max(rel_ok) * 1.5, 0.25)
+
+
+def test_win_cap_overflow_is_graceful():
+    """Window-slot cap overflow (tiny win_cap forces it) must drop whole
+    trailing near children TOGETHER with their anti-rows: each dropped
+    child falls back to its own child monopole — a local theta
+    relaxation, never a missing or double-counted force.  Verified by the
+    exact bookkeeping invariant: the P2P lane set must equal the union of
+    the KEPT near children's particle ranges, for the capped and the
+    uncapped build alike."""
+    n = 4096
+    rng = np.random.default_rng(13)
+    c = rng.uniform(-400, 400, (6, 3))
+    pos = jnp.asarray(
+        (c[rng.integers(0, 6, n)] + rng.normal(0, 2.0, (n, 3))).astype(np.float32)
+    )
+    mass = jnp.asarray(rng.uniform(1.0, 5.0, n).astype(np.float32))
+    base = SimConfig(n=n, theta=0.5, force_tile=256, use_pallas=False,
+                     sup_cap=64, mid_cap=512, cmid_cap=1024, near_cap=1024)
+    cfg_small = base.replace(win_cap=2)      # force window-slot overflow
+    pos_p, mass_p, codes_p = _sorted_grouped(pos, mass, base)
+
+    def lanes_match(cfg, cells, bands):
+        """P2P lanes == union of kept near children's particle ranges."""
+        cf = np.asarray(cells.child_first).reshape(-1)
+        cc_ = np.asarray(cells.child_count).reshape(-1)
+        ni = np.asarray(bands.near_idx)
+        nc = np.asarray(bands.near_cnt)
+        wf = np.asarray(bands.win_first)
+        wm = np.asarray(bands.win_mask)
+        wc = np.asarray(bands.win_cnt)
+        for t in range(ni.shape[0]):
+            want = set()
+            for cid in ni[t, : nc[t]]:
+                want.update(range(cf[cid], cf[cid] + cc_[cid]))
+            got = set()
+            for k in range(wc[t]):
+                for w in range(4):
+                    bits = int(wm[t, w, k]) & 0xFFFFFFFF
+                    for b_ in range(32):
+                        if bits >> b_ & 1:
+                            got.add(int(wf[t, k]) + 32 * w + b_)
+            assert got == want, (t, len(got), len(want))
+
+    cells_s, _, bands_s, _ = forces.build_bands(pos_p, mass_p, codes_p, cfg_small)
+    assert bool(bands_s.near_overflow), "scenario must actually overflow"
+    assert int(jnp.max(bands_s.win_cnt)) <= cfg_small.win_cap_eff
+    lanes_match(cfg_small, cells_s, bands_s)
+
+    cells_f, _, bands_f, _ = forces.build_bands(pos_p, mass_p, codes_p, base)
+    assert not bool(bands_f.near_overflow)
+    lanes_match(base, cells_f, bands_f)
+    # dropped children shrank the near list (anti-rows truncated with them)
+    assert int(jnp.sum(bands_s.near_cnt)) < int(jnp.sum(bands_f.near_cnt))
+
+    # physics stays finite, and a roomy win_cap is a no-op (bit-equal to
+    # the structural-maximum cap)
+    acc_s = np.asarray(forces.bh_forces_grouped(pos_p, mass_p, codes_p, cfg_small))[:n]
+    assert np.isfinite(acc_s).all()
+    acc_f = np.asarray(forces.bh_forces_grouped(pos_p, mass_p, codes_p, base))[:n]
+    acc_u = np.asarray(forces.bh_forces_grouped(
+        pos_p, mass_p, codes_p, base.replace(win_cap=2 * base.near_cap)
+    ))[:n]
+    np.testing.assert_array_equal(acc_f, acc_u)

@@ -1,0 +1,170 @@
+"""Which stage of cell_band_lists costs ~200 ms at 1M with the
+demand-sized caps?  Cumulative stage prefixes of the real classifier.
+
+Usage: _prof_classify.py [n]
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import sys
+import jax, jax.numpy as jnp
+from jax import lax
+
+from nbody_tpu.config import SimConfig
+from nbody_tpu.init import make_initial_state
+from nbody_tpu.ops import forces
+from nbody_tpu.ops.forces import (
+    SUB_FACTOR, _row_compact_one, _row_compact_two, _window_masks, soft_term,
+)
+from nbody_tpu.models.simulation import sort_by_morton
+from nbody_tpu.ops.cells import build_source_cells
+from nbody_tpu.ops import bbox as _bbox
+from nbody_tpu.utils.profiling import _sync, time_fn
+
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+cfg = SimConfig(n=n, check_overflow=False)
+st = make_initial_state(cfg)
+cs_, perm, lo, size = sort_by_morton(st.pos, cfg)
+ps, ms, cs = forces.pad_sorted(st.pos[perm], st.mass[perm], cs_, cfg.force_tile)
+
+box_lo, box_size = _bbox.bounding_cube(ps)
+cells = jax.jit(lambda c, p, m: build_source_cells(
+    c, p, m, cfg.force_tile, cfg.g, cfg.cell_capacity, box_lo, box_size,
+    g2_factor=cfg.g2_cap_factor))(cs, ps, ms)
+supers = jax.jit(forces.make_supers)(cells)
+tgt = jax.jit(lambda p, c: forces.target_subspheres(
+    p, cfg.force_tile, codes=c))(ps, cs)
+_sync(tgt)
+
+_I32 = jnp.int32
+
+
+def make_stage(upto: str):
+    """A trimmed copy of cell_band_lists running stages up to `upto`."""
+    s_cap, mid_cap, cmid_cap, near_cap = (cfg.sup_cap, cfg.mid_cap,
+                                          cfg.cmid_cap, cfg.near_cap)
+    theta = cfg.theta
+    soft = soft_term(cfg)
+
+    def fn(tgt_subs, supers, cells):
+        n_sup = supers.com.shape[0]
+        g_cap = cells.gmass.shape[0]
+        k_cap = 8 * g_cap
+        t = tgt_subs.center.shape[0] // SUB_FACTOR
+        big = jnp.iinfo(jnp.int32).max // 2 * 2
+        half = jnp.float32(0.0)
+
+        cellf = jnp.concatenate(
+            [cells.com, cells.diam[:, None], cells.skin[:, None]], axis=1)
+        cellf8 = jnp.concatenate(
+            [cellf.reshape(n_sup, 8, 5), jnp.zeros((1, 8, 5), jnp.float32)])
+        gc_ok = cells.gchild_gmass > 0
+        big_f = jnp.float32(3.0e38)
+        gc_lo = jnp.min(jnp.where(gc_ok[..., None], cells.gchild_com, big_f), axis=2)
+        gc_hi = jnp.max(jnp.where(gc_ok[..., None], cells.gchild_com, -big_f), axis=2)
+        kidf = jnp.concatenate(
+            [cells.child_com, cells.child_diam[..., None],
+             cells.gchild_diam_max[..., None], gc_lo, gc_hi,
+             cells.child_gmass[..., None], cells.child_skin[..., None],
+             cells.gchild_complete.astype(jnp.float32)[..., None]], axis=-1)
+        kidf = jnp.concatenate([kidf, jnp.zeros((1, 8, 14), jnp.float32)])
+        cf_flat = jnp.concatenate(
+            [cells.child_first.reshape(-1), jnp.zeros((1,), _I32)])
+        cc_flat = jnp.concatenate(
+            [cells.child_count.reshape(-1), jnp.zeros((1,), _I32)])
+
+        centers = tgt_subs.center.reshape(t, SUB_FACTOR, 3)
+        radii = tgt_subs.radius.reshape(t, SUB_FACTOR)
+        per_row = 24 * n_sup + 120 * s_cap + 250 * mid_cap
+        chunk = max(8, min(256, (28 << 20) // max(per_row, 1)))
+        t_pad = -(-t // chunk) * chunk
+        centers = jnp.pad(centers, ((0, t_pad - t), (0, 0), (0, 0)))
+        radii = jnp.pad(radii, ((0, t_pad - t), (0, 0)))
+        sup_ids = jnp.arange(n_sup, dtype=_I32)[None, :]
+        arange8 = jnp.arange(8, dtype=_I32)
+
+        def one_chunk(args):
+            ctr, rad = args
+            c_rows = ctr.shape[0]
+            rad_t = rad + half
+
+            def sub_gap(com, src_skin):
+                d = com[:, :, None, :] - ctr[:, None, :, :]
+                gap = jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad_t[:, None, :]
+                gap = jnp.maximum(jnp.min(gap, axis=-1), 0.0)
+                return jnp.maximum(gap - (src_skin + half), 0.0)
+
+            d = supers.com[None, :, None, :] - ctr[:, None, :, :]
+            gap = jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad_t[:, None, :]
+            ssk = supers.skin[None, :] + half
+            gap = jnp.maximum(jnp.maximum(jnp.min(gap, axis=-1), 0.0) - ssk, 0.0)
+            dist = jnp.sqrt(gap * gap + soft)
+            fail1 = (supers.diam[None, :] + 2.0 * ssk) / dist >= theta
+            if upto == "stage1":
+                return (jnp.sum(fail1.astype(_I32), axis=1),)
+            sup_idx, _ = _row_compact_one(
+                jnp.where(fail1, sup_ids, big), big, s_cap)
+            if upto == "compact1":
+                return (sup_idx[:, 0],)
+
+            sup_c = jnp.minimum(sup_idx, n_sup)
+            cand = sup_c[:, :, None] * 8 + arange8[None, None, :]
+            cand = jnp.minimum(cand, g_cap).reshape(c_rows, -1)
+            f = cellf8[sup_c].reshape(c_rows, -1, 5)
+            csk = f[..., 4] + half
+            distc = jnp.sqrt(sub_gap(f[..., 0:3], f[..., 4]) ** 2 + soft)
+            failc = ((f[..., 3] + 2.0 * csk) / distc >= theta) & (cand < g_cap)
+            if upto == "stage2":
+                return (jnp.sum(failc.astype(_I32), axis=1),)
+            mid_idx, _ = _row_compact_one(
+                jnp.where(failc, cand, big), big, mid_cap)
+            if upto == "compact2":
+                return (mid_idx[:, 0],)
+
+            midc = jnp.minimum(mid_idx, g_cap)
+            kf = kidf[midc].reshape(c_rows, mid_cap * 8, 14)
+            kid_id = (midc[:, :, None] * 8 + arange8[None, None, :]).reshape(
+                c_rows, -1)
+            ksk = kf[..., 12] + half
+            distk = jnp.sqrt(sub_gap(kf[..., 0:3], kf[..., 12]) ** 2 + soft)
+            live = (kf[..., 11] > 0) & (kid_id < k_cap)
+            failk = ((kf[..., 3] + 2.0 * ksk) / distk >= theta) & live
+            blo = kf[..., 5:8]
+            bhi = kf[..., 8:11]
+            cl = jnp.clip(ctr[:, None, :, :], blo[:, :, None, :], bhi[:, :, None, :])
+            gap_box = jnp.linalg.norm(cl - ctr[:, None, :, :], axis=-1) - rad_t[:, None, :]
+            gap_box = jnp.maximum(
+                jnp.maximum(jnp.min(gap_box, axis=-1), 0.0) - ksk, 0.0)
+            dist_box = jnp.sqrt(gap_box * gap_box + soft)
+            cmid_m = (failk & ((kf[..., 4] + 2.0 * ksk) / dist_box < theta)
+                      & (kf[..., 13] > 0.5))
+            near_m = failk & ~cmid_m
+            if upto == "stage3":
+                return (jnp.sum(near_m.astype(_I32), axis=1),)
+            key_c = jnp.where(cmid_m, kid_id, big)
+            key_n = jnp.where(near_m, kid_id + big // 2, big)
+            ci, cc_, ni, nc = _row_compact_two(key_c, key_n, big, cmid_cap, near_cap)
+            if upto == "compact3":
+                return (ni[:, 0],)
+            ni_safe = jnp.minimum(ni, k_cap)
+            sf = cf_flat[ni_safe]
+            scnt = cc_flat[ni_safe]
+            wf, wm, win_cnt, kept, dropped = _window_masks(sf, scnt, cfg.win_cap_eff)
+            return (win_cnt,)
+
+        res = lax.map(one_chunk, (centers.reshape(-1, chunk, SUB_FACTOR, 3),
+                                  radii.reshape(-1, chunk, SUB_FACTOR)))
+        return res
+
+    return fn
+
+
+noop = jax.jit(lambda x: x + 1.0)
+base = time_fn(noop, jnp.zeros((8,), jnp.float32), iters=10)["median_ms"]
+print(f"[relay] {base:.1f} ms (subtracted); caps sup={cfg.sup_cap} "
+      f"mid={cfg.mid_cap} cmid={cfg.cmid_cap} near={cfg.near_cap}", flush=True)
+for name in ["stage1", "compact1", "stage2", "compact2", "stage3",
+             "compact3", "windows"]:
+    f = jax.jit(make_stage(name))
+    out = f(tgt, supers, cells); _sync(out)
+    t = time_fn(f, tgt, supers, cells, iters=6, warmup=1)
+    print(f"{name:10s} {t['median_ms'] - base:8.2f} ms", flush=True)
