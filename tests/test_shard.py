@@ -121,3 +121,54 @@ def test_graft_entry_single_and_multi():
     assert out.pos.shape == args[0].pos.shape
 
     ge.dryrun_multichip(8)
+
+
+def test_reslab_halo_fast_path_and_fallback(eight_devices):
+    """The o(N)-rebuild-traffic mechanism (config-5): slab-resident rows
+    are re-slabbed by a FIXED-SIZE neighbor halo exchange when the Morton
+    permutation drifts within the halo (the common case — fast path,
+    any_out False), with a replicated full-gather fallback that keeps
+    correctness independent of the drift bound.  Both paths must produce
+    exactly rows perm[me*m:(me+1)*m] of the old global order."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from nbody_tpu.parallel import shard as sh
+
+    d = 8
+    m = 32
+    n = d * m
+    h = 8
+    mesh = make_mesh(d)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+
+    def run(perm_np):
+        perm = jnp.asarray(perm_np, jnp.int32)
+
+        def body(xl, perml):
+            perm_g = sh._gather(perml)
+            (out,), any_out = sh._reslab(perm_g, (xl,), h)
+            return out, jnp.broadcast_to(any_out, (xl.shape[0],))
+
+        fn = shard_map(
+            body, mesh=mesh, in_specs=(P(sh.AXIS), P(sh.AXIS)),
+            out_specs=(P(sh.AXIS), P(sh.AXIS)), check_vma=False,
+        )
+        out, flag = jax.jit(fn)(x, perm)
+        return np.asarray(out), bool(np.asarray(flag)[0])
+
+    # small drift (within the halo): fast path, exact rows.  Sorting
+    # jittered ranks yields a true permutation that moves every element
+    # by < h positions
+    drift = rng.integers(-h + 1, h - 1, size=n)
+    perm_small = np.argsort(np.arange(n) + drift, kind="stable")
+    out, any_out = run(perm_small)
+    np.testing.assert_array_equal(out, np.asarray(x)[perm_small])
+    assert not any_out, "within-halo drift must take the fixed-traffic path"
+
+    # a far shuffle: fallback fires, still exact
+    perm_big = rng.permutation(n)
+    out, any_out = run(perm_big)
+    np.testing.assert_array_equal(out, np.asarray(x)[perm_big])
+    assert any_out, "out-of-halo drift must trip the full-gather fallback"
