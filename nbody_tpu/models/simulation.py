@@ -298,25 +298,22 @@ def _v3(xf: jax.Array) -> jax.Array:
     return xf.reshape(-1, 3)
 
 
-def _adaptive_parts(cfg: SimConfig):
-    """The adaptive runner's building blocks, shared by the one-shot
-    runner (make_adaptive_runner) and the persistent stepper
-    (make_adaptive_stepper): (init_carry, body, extract).
+def _adaptive_rebuild_fn(cfg: SimConfig):
+    """One adaptive band rebuild as a reusable closure: Morton re-sort,
+    packed permutation, self-tuned skin envelopes, band build, validity
+    horizon + envelope feedback.  Shared by the nested one-shot runner
+    (make_adaptive_runner) and the flat persistent-stepper parts
+    (_adaptive_parts).
 
-    The carry is (i, left, afm_age, n_rb, k_env, afm, pos, vel, mass,
-    acc, orig, supers, bands, tables) — everything a step needs, so it
-    can live on device across host calls.
-
-    MEMORY LAYOUT: the [N, 3] vector fields (pos, vel, acc, afm) are
-    carried FLAT as [3N].  XLA's TPU tiling pads an f32[N, 3] temp's
-    minor dim 3 -> 128 lanes (42.7x: 46 MB logical -> 1.9 GB at N=4M),
-    and the while-loop carry plus the rebuild's five per-field
-    permutation gathers materialize several such temps at once — the
-    measured single-chip 4M OOM (16.45G > 15.75G HBM, 43.7%
-    fragmentation).  1D carries are linear (never padded) and alias
-    across loop iterations; [N, 3] views are materialized only
-    transiently where an op needs them (Pallas operands, gathers)."""
-    r = max(1, cfg.hold_farmid)
+    MEMORY LAYOUT: the [N, 3] vector fields (pos, vel, acc, afm) travel
+    FLAT as [3N].  XLA's TPU tiling pads an f32[N, 3] temp's minor dim
+    3 -> 128 lanes (42.7x: 46 MB logical -> 1.9 GB at N=4M), and a
+    while-loop carry plus five per-field permutation gathers materialize
+    several such temps at once — the measured single-chip 4M OOM (16.45G
+    > 15.75G HBM, 43.7% fragmentation).  1D carries are linear (never
+    padded) and alias across loop iterations; [N, 3] views materialize
+    only transiently where an op needs them (Pallas operands, gathers).
+    """
 
     def norms(x):
         return jnp.sqrt(jnp.sum(x * x, axis=1))
@@ -370,6 +367,23 @@ def _adaptive_parts(cfg: SimConfig):
         )
         return (_flat(pos), _flat(vel), mass, _flat(acc), orig,
                 supers, bands, tables), (s_valid, k_next)
+
+    return rebuild
+
+
+def _adaptive_parts(cfg: SimConfig):
+    """The FLAT adaptive-runner building blocks used by the persistent
+    stepper (AdaptiveStepper): (init_carry, body, extract).
+
+    The carry is (i, left, afm_age, n_rb, k_env, afm, pos, vel, mass,
+    acc, orig, supers, bands, tables) — everything a step needs, so it
+    can live on device across host calls.  Carrying the band pytree
+    costs real per-step traffic (the cond/carry overhead the nested
+    make_adaptive_runner avoids), which is the right trade ONLY for the
+    interactive stepper, whose band state must survive host-call
+    boundaries."""
+    r = max(1, cfg.hold_farmid)
+    rebuild = _adaptive_rebuild_fn(cfg)
 
     def init_carry(state: ParticleState):
         pos, vel, mass, acc, orig = _pad_cycle_state(state, cfg.force_tile)
@@ -462,15 +476,74 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
       * the smooth far+mid component is refreshed on rebuild and at most
         every R = cfg.hold_farmid steps (r-RESPA hold), evaluated at the
         live positions; the exact near band is live every step.
+
+    LOOP STRUCTURE: nested, not flat.  A flat per-step while_loop must
+    CARRY the frozen band structures (supers + bands + tables, ~750 MB at
+    1M with the demand-sized caps) through a rebuild lax.cond every step;
+    here the OUTER loop rebuilds unconditionally and the INNER while_loop
+    runs the validity-horizon's steps with the band pytree CLOSED OVER (a
+    loop constant): the inner carry is just the flat particle vectors,
+    the held far+mid force, and scalars.  Measured at 1M the two compile
+    to the same sustained rate (XLA aliases the flat carry's band
+    buffers), but the nested form is the one whose inner-loop cost is
+    auditable phase by phase (tools/_prof_inner.py) and it keeps the
+    rebuild out of the per-step program.
     """
-    init_carry, body, extract = _adaptive_parts(cfg)
+    r = max(1, cfg.hold_farmid)
+    _, _, extract = _adaptive_parts(cfg)
+    rebuild_fn = _adaptive_rebuild_fn(cfg)
 
     def run(state: ParticleState) -> ParticleState:
-        carry0 = init_carry(state)
-        out = jax.lax.while_loop(lambda s: s[0] < n_steps, body, carry0)
-        result = extract(out, state.pos.shape[0], state.mass)
+        pos, vel, mass, acc, orig = _pad_cycle_state(state, cfg.force_tile)
+        carry0 = (jnp.int32(0), jnp.int32(0), jnp.int32(cfg.rebuild_every),
+                  _flat(pos), _flat(vel), mass, _flat(acc), orig)
+
+        def outer_cond(s):
+            return s[0] < n_steps
+
+        def outer_body(s):
+            i, n_rb, k_env, posf, velf, mass, accf, orig = s
+            (posf, velf, mass, accf, orig, supers, bands,
+             tables), (s_valid, k_env) = rebuild_fn(
+                posf, velf, mass, accf, orig, k_env
+            )
+            t_seg = jnp.minimum(s_valid, n_steps - i)
+
+            def inner_cond(c):
+                return c[0] < t_seg
+
+            def inner_body(c):
+                j, afm_age, afmf, posf, velf, accf = c
+                pos3 = _v3(posf)
+                refresh = (j == 0) | (afm_age >= r)
+                afmf = jax.lax.cond(
+                    refresh,
+                    lambda p: _flat(forces.apply_farmid(
+                        _v3(p), supers, tables, cfg)),
+                    lambda p: afmf,
+                    posf,
+                )
+                afm_age = jnp.where(refresh, 1, afm_age + 1)
+                a = _v3(afmf) + forces.apply_near(pos3, pos3, mass, bands, cfg)
+                st = integ.integrate(
+                    ParticleState(pos=pos3, vel=_v3(velf), mass=mass, acc=a),
+                    a, cfg,
+                )
+                return (j + 1, afm_age, afmf,
+                        _flat(st.pos), _flat(st.vel), _flat(a))
+
+            j, _, _, posf, velf, accf = jax.lax.while_loop(
+                inner_cond, inner_body,
+                (jnp.int32(0), jnp.int32(0), jnp.zeros_like(posf),
+                 posf, velf, accf),
+            )
+            return (i + j, n_rb + 1, k_env, posf, velf, mass, accf, orig)
+
+        out = jax.lax.while_loop(outer_cond, outer_body, carry0)
+        carry_like = (None,) * 6 + out[3:]   # extract reads [6:11]
+        result = extract(carry_like, state.pos.shape[0], state.mass)
         if return_stats:
-            return result, out[3]  # (state, rebuild count incl. the initial)
+            return result, out[1]
         return result
 
     return run
