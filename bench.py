@@ -131,7 +131,9 @@ def main():
     frames = int(os.environ.get("NBODY_BENCH_FRAMES", 32))
     k = int(os.environ.get("NBODY_BENCH_K", 16))
     tile = int(os.environ.get("NBODY_BENCH_TILE", 256))
-    r = int(os.environ.get("NBODY_BENCH_R", 4))
+    # R=8 far+mid hold is kilostep-gated: 0.130% drift vs the 0.2%
+    # criterion (tools/_prof_kilostep.py 16 8, PERF.md round-3)
+    r = int(os.environ.get("NBODY_BENCH_R", 8))
 
     import jax
 

@@ -212,15 +212,16 @@ PRESETS = {
         legacy_softening=True, clamp_speed=False, ic_kind="legacy_disk",
     ),
     # nbody_v5 interactive (nbody_v5.cu:34).
-    "v5": SimConfig(n=500_000, rebuild_every=16, hold_farmid=4),
+    "v5": SimConfig(n=500_000, rebuild_every=16, hold_farmid=8),
     # nbody_v5_bench at README/binary N (README.md:23).  The adaptive
-    # runner (envelope-triggered rebuilds, K=16 horizon, far+mid held 4
+    # runner (envelope-triggered rebuilds, K=16 horizon, far+mid held 8
     # steps) is the fastest config that passes the kilostep physics
-    # gate: 0.098% drift vs the 0.2% criterion (PERF.md round-2).
-    "v5_bench": SimConfig(n=1_000_000, rebuild_every=16, hold_farmid=4),
+    # gate: 0.130% drift at R=8 vs the 0.2% criterion and the 0.175%
+    # per-step-rebuild control (PERF.md round-3; R=4 measured 0.122%).
+    "v5_bench": SimConfig(n=1_000_000, rebuild_every=16, hold_farmid=8),
     # BASELINE config 2.
-    "bh_100k": SimConfig(n=100_000, rebuild_every=16, hold_farmid=4),
+    "bh_100k": SimConfig(n=100_000, rebuild_every=16, hold_farmid=8),
     # BASELINE config 5: multi-chip.
     "sharded_4m": SimConfig(n=4_000_000, mesh_shape=(8,),
-                            rebuild_every=16, hold_farmid=4),
+                            rebuild_every=16, hold_farmid=8),
 }

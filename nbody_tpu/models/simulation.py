@@ -290,6 +290,14 @@ def validity_horizon(v, a, drift, cfg: SimConfig) -> jax.Array:
     )
 
 
+# Largest padded N for which the nested runner's inner loop may carry its
+# vector fields as [N, 3]: XLA tiles f32[N, 3] at (8, 128), so 4 carried
+# fields cost 4 * 128 lanes * 4 B = 2 KB/particle of HBM (2 GB at 1M).
+# Past this, the inner loop carries flat [3N] and pays the measured
+# ~8 ms/step (at 1M) of per-step reshape materialization instead.
+_INNER3_MAX_NPAD = 2_097_152
+
+
 def _flat(x3: jax.Array) -> jax.Array:
     return x3.reshape(-1)
 
@@ -482,12 +490,22 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
     1M with the demand-sized caps) through a rebuild lax.cond every step;
     here the OUTER loop rebuilds unconditionally and the INNER while_loop
     runs the validity-horizon's steps with the band pytree CLOSED OVER (a
-    loop constant): the inner carry is just the flat particle vectors,
-    the held far+mid force, and scalars.  Measured at 1M the two compile
-    to the same sustained rate (XLA aliases the flat carry's band
-    buffers), but the nested form is the one whose inner-loop cost is
-    auditable phase by phase (tools/_prof_inner.py) and it keeps the
-    rebuild out of the per-step program.
+    loop constant).  Measured at 1M the two compile to the same sustained
+    rate (XLA aliases the flat carry's band buffers), but the nested form
+    is the one whose inner-loop cost is auditable phase by phase
+    (tools/_prof_inner.py) and it keeps the rebuild out of the per-step
+    program.
+
+    INNER CARRY LAYOUT: the inner loop carries the vector fields as
+    [N, 3] when the padded footprint allows.  Per-step flat<->[N, 3]
+    reshapes cost a measured +8 ms/step at 1M (each materializes the
+    42.7x-padded tiled form, tools/_prof_inner.py "flat carries"), and a
+    while-loop carry aliases across iterations, so carrying the padded
+    form is a one-time memory cost, not per-step traffic: 4 fields x 128
+    lanes x 4 B = 2 KB/particle (2 GB at 1M — fine; 8 GB at 4M — not).
+    Above _INNER3_MAX_NPAD the inner loop falls back to flat [3N]
+    carries, trading the reshapes for fitting in HBM; the OUTER carry is
+    always flat (the rebuild re-materializes everything anyway).
     """
     r = max(1, cfg.hold_farmid)
     _, _, extract = _adaptive_parts(cfg)
@@ -495,6 +513,7 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
 
     def run(state: ParticleState) -> ParticleState:
         pos, vel, mass, acc, orig = _pad_cycle_state(state, cfg.force_tile)
+        inner3 = pos.shape[0] <= _INNER3_MAX_NPAD
         carry0 = (jnp.int32(0), jnp.int32(0), jnp.int32(cfg.rebuild_every),
                   _flat(pos), _flat(vel), mass, _flat(acc), orig)
 
@@ -508,36 +527,42 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
                 posf, velf, mass, accf, orig, k_env
             )
             t_seg = jnp.minimum(s_valid, n_steps - i)
+            # carry-form converters: [N,3] carries when inner3, flat [3N]
+            # otherwise (to3: carry -> [N,3]; toc: [N,3] -> carry)
+            to3 = (lambda x: x) if inner3 else _v3
+            toc = (lambda x: x) if inner3 else _flat
 
             def inner_cond(c):
                 return c[0] < t_seg
 
             def inner_body(c):
-                j, afm_age, afmf, posf, velf, accf = c
-                pos3 = _v3(posf)
+                j, afm_age, afm, pos, vel, acc = c
+                pos3 = to3(pos)
                 refresh = (j == 0) | (afm_age >= r)
-                afmf = jax.lax.cond(
+                afm3 = jax.lax.cond(
                     refresh,
-                    lambda p: _flat(forces.apply_farmid(
-                        _v3(p), supers, tables, cfg)),
-                    lambda p: afmf,
-                    posf,
+                    lambda p: forces.apply_farmid(p, supers, tables, cfg),
+                    lambda p: to3(afm),
+                    pos3,
                 )
                 afm_age = jnp.where(refresh, 1, afm_age + 1)
-                a = _v3(afmf) + forces.apply_near(pos3, pos3, mass, bands, cfg)
+                a = afm3 + forces.apply_near(pos3, pos3, mass, bands, cfg)
                 st = integ.integrate(
-                    ParticleState(pos=pos3, vel=_v3(velf), mass=mass, acc=a),
+                    ParticleState(pos=pos3, vel=to3(vel), mass=mass, acc=a),
                     a, cfg,
                 )
-                return (j + 1, afm_age, afmf,
-                        _flat(st.pos), _flat(st.vel), _flat(a))
+                return (j + 1, afm_age, toc(afm3),
+                        toc(st.pos), toc(st.vel), toc(a))
 
-            j, _, _, posf, velf, accf = jax.lax.while_loop(
+            j, _, _, pos_o, vel_o, acc_o = jax.lax.while_loop(
                 inner_cond, inner_body,
-                (jnp.int32(0), jnp.int32(0), jnp.zeros_like(posf),
-                 posf, velf, accf),
+                (jnp.int32(0), jnp.int32(0),
+                 toc(jnp.zeros_like(_v3(posf))),
+                 toc(_v3(posf)), toc(_v3(velf)), toc(_v3(accf))),
             )
-            return (i + j, n_rb + 1, k_env, posf, velf, mass, accf, orig)
+            return (i + j, n_rb + 1, k_env,
+                    _flat(to3(pos_o)), _flat(to3(vel_o)), mass,
+                    _flat(to3(acc_o)), orig)
 
         out = jax.lax.while_loop(outer_cond, outer_body, carry0)
         carry_like = (None,) * 6 + out[3:]   # extract reads [6:11]
@@ -560,8 +585,11 @@ class AdaptiveStepper:
     runner's carry (positions in Morton order, frozen band structures,
     validity countdown, held far+mid force) resident on device across
     host calls, so rebuilds happen exactly when the adaptive physics
-    demands them — identical math to make_adaptive_runner, just split
-    at host-call boundaries (tested bit-identical in test_simulation).
+    demands them — the same schedule and math as make_adaptive_runner,
+    just split at host-call boundaries (test_simulation asserts an
+    identical rebuild schedule and a last-ulp-tight trajectory match;
+    the two compile as different XLA programs, so fusion may differ in
+    the final ulp).
     """
 
     def __init__(self, cfg: SimConfig, state: ParticleState):

@@ -179,9 +179,17 @@ def test_adaptive_runner_tracks_per_step_rebuild():
 
 def test_adaptive_stepper_matches_runner():
     """The persistent-carry stepper (viewer path) split across several
-    host calls must be BIT-IDENTICAL to the one-shot adaptive runner:
-    same rebuild triggers, same held far+mid, same integration — the
-    carry is the same, only the host-call boundaries differ."""
+    host calls must implement the SAME SCHEDULE as the one-shot adaptive
+    runner: same rebuild triggers, same held far+mid, same integration —
+    the carry is the same, only the host-call boundaries differ.
+
+    The comparison is a tight allclose, not bit-equality: the two are
+    differently structured XLA programs (the runner nests its inner loop
+    with [N, 3] carries; the stepper's flat body must survive host-call
+    boundaries), so fusion choices may differ in the last ulp.  A
+    schedule divergence (missed rebuild/refresh) would show up both as
+    an O(1e-3+) trajectory split within these 13 steps and as a rebuild
+    count mismatch, asserted exactly below."""
     n = 2048
     cfg = SimConfig(n=n, force_tile=256, use_pallas=False,
                     rebuild_every=16, hold_farmid=4,
@@ -189,15 +197,20 @@ def test_adaptive_stepper_matches_runner():
                     check_overflow=False)
     state = disk_galaxy_jax(n, seed=7, g=cfg.g)
     sim = Simulation(cfg, method="barnes_hut")
-    out = sim.run_scan(state, 13)
+    from nbody_tpu.models.simulation import make_adaptive_runner
+    out, n_rb = jax.jit(make_adaptive_runner(cfg, 13, return_stats=True))(
+        state)
 
     stepper = sim.make_stepper(state)
     assert stepper is not None
     for k in (5, 5, 3):          # 13 steps over three uneven calls
         stepper.advance(k)
     snap = stepper.snapshot()
-    np.testing.assert_array_equal(np.asarray(snap.pos), np.asarray(out.pos))
-    np.testing.assert_array_equal(np.asarray(snap.vel), np.asarray(out.vel))
+    assert int(stepper.carry[3]) == int(n_rb)   # identical rebuild schedule
+    np.testing.assert_allclose(np.asarray(snap.pos), np.asarray(out.pos),
+                               rtol=2e-6, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(snap.vel), np.asarray(out.vel),
+                               rtol=2e-6, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(snap.mass), np.asarray(state.mass))
     # rendering path: sorted views exist, padded to the force tile
     assert stepper.pos_sorted.shape[0] % cfg.force_tile == 0
