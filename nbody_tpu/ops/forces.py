@@ -408,35 +408,13 @@ def _lowmask(k):
     return jnp.where(k >= 32, jnp.int32(-1), shifted)
 
 
-def _window_masks(first, count, win_cap: int):
-    """Convert near-child runs to deduplicated (aligned window, 128-bit
-    mask) pairs, capped at win_cap DISTINCT windows per row.
-
-    first, count: [R, K] int32 child runs in ASCENDING, DISJOINT particle
-    order (live-prefix packed; pad entries count == 0 at the end) — the
-    order _row_compact_two guarantees.  Returns (win_first [R, win_cap]
-    aligned starts, win_mask [R, 4, win_cap] lane-validity words,
-    win_cnt [R], kept_children [R], dropped [R] bool) with live windows
-    packed first and DISTINCT per row: pieces sharing a window OR their
-    masks into one entry.  Runs are disjoint particle ranges, so the OR
-    never double-counts a lane.
-
-    WIN CAP SEMANTICS (graceful): window ranks are monotone in child
-    order, so the children whose windows exceed win_cap form a SUFFIX of
-    the near list.  Those children are dropped WHOLLY — their pieces'
-    masks are zeroed BEFORE the OR merge and the caller must drop the
-    same children's anti-rows (truncate near_cnt to kept_children), so a
-    dropped child simply keeps its own child monopole: a local theta
-    violation, never a missing or double-counted force.
-
-    Structure exploited (saves a full [R, 2K] multi-array sort): a run
-    splits at its single SPAN_ALIGN boundary, so piece 2's window is
-    always piece 1's + 1, and with runs ascending the INTERLEAVED key
-    sequence [w_0, w_0+1, w_1, w_1+1, ...] is non-decreasing (if run i
-    crossed a boundary, run i+1 starts past it, so w_{i+1} >= w_i + 1; a
-    dead piece 2 takes its own run's w_i as a zero-mask duplicate).
-    Equal windows are therefore already adjacent: dedup is an
-    adjacent-compare + segmented OR, and only the final PACK pays a sort.
+def _window_masks_dense(first, count, win_cap: int):
+    """Full-width reference implementation of _window_masks (see there
+    for the contract).  Kept as the equivalence oracle for the sliced
+    production version: it processes all 2K piece positions
+    unconditionally, which measured 63 ms/rebuild at 1M (the 5-operand
+    segmented-OR scan over [C, 2*near_cap] — tools/_prof_classify.py
+    "winscan") against a mean live width of ~250.
     """
     big = jnp.iinfo(jnp.int32).max // 2 * 2
     w = first // SPAN_ALIGN
@@ -502,6 +480,197 @@ def _window_masks(first, count, win_cap: int):
     win_first = jnp.where(live, keep * SPAN_ALIGN, 0)
     win_mask = jnp.stack(
         [jnp.where(live, m, 0) for m in (m0, m1, m2, m3)], axis=1
+    )
+    return (win_first, win_mask, jnp.sum(live.astype(_I32), axis=1),
+            kept_children, dropped)
+
+
+# Pieces processed per sliced-_window_masks iteration (2 per child, so
+# SLICE_W/2 children); must be even.  512 balances per-iteration overhead
+# against wasted tail work: mean live pieces at the 1M bench state are
+# ~250 of the 2*near_cap = 2048 static width.
+_WIN_SLICE_W = 512
+
+
+def _window_masks(first, count, win_cap: int):
+    """Convert near-child runs to deduplicated (aligned window, 128-bit
+    mask) pairs, capped at win_cap DISTINCT windows per row.
+
+    first, count: [R, K] int32 child runs in ASCENDING, DISJOINT particle
+    order (live-prefix packed; pad entries count == 0 at the end) — the
+    order _row_compact_two guarantees.  Returns (win_first [R, win_cap]
+    aligned starts, win_mask [R, 4, win_cap] lane-validity words,
+    win_cnt [R], kept_children [R], dropped [R] bool) with live windows
+    packed first and DISTINCT per row: pieces sharing a window OR their
+    masks into one entry.  Runs are disjoint particle ranges, so the OR
+    never double-counts a lane.
+
+    WIN CAP SEMANTICS (graceful): window ranks are monotone in child
+    order, so the children whose windows exceed win_cap form a SUFFIX of
+    the near list.  Those children are dropped WHOLLY — their pieces'
+    masks are zeroed BEFORE the OR merge and the caller must drop the
+    same children's anti-rows (truncate near_cnt to kept_children), so a
+    dropped child simply keeps its own child monopole: a local theta
+    violation, never a missing or double-counted force.
+
+    Structure exploited (saves a full [R, 2K] multi-array sort): a run
+    splits at its single SPAN_ALIGN boundary, so piece 2's window is
+    always piece 1's + 1, and with runs ascending the INTERLEAVED key
+    sequence [w_0, w_0+1, w_1, w_1+1, ...] is non-decreasing (if run i
+    crossed a boundary, run i+1 starts past it, so w_{i+1} >= w_i + 1; a
+    dead piece 2 takes its own run's w_i as a zero-mask duplicate).
+    Equal windows are therefore already adjacent: dedup is an
+    adjacent-compare + segmented OR, and only the final PACK pays a sort.
+
+    SLICED EXECUTION: the segmented-OR scan is the single most expensive
+    stage of the whole rebuild at full width (63 ms of the 282 ms
+    1M rebuild — tools/_prof_classify.py), yet live pieces are a PREFIX
+    of mean length ~250 vs the 2*near_cap = 2048 static width.  A
+    while_loop therefore processes _WIN_SLICE_W pieces at a time, only up
+    to the rightmost live child in the batch, carrying the open window
+    (key + accumulated mask words + rank) across slice boundaries; the
+    tail slices of the static cap are never touched.  Outputs are written
+    in place per slice and packed by the same final sort, which measures
+    FREE in situ (XLA fuses it — winsort vs winscan in the profiler).
+    """
+    big = jnp.iinfo(jnp.int32).max // 2 * 2
+    r, k = first.shape
+    cw = _WIN_SLICE_W // 2                  # children per slice
+    k_pad = -(-k // cw) * cw
+    if k_pad != k:
+        first = jnp.pad(first, ((0, 0), (0, k_pad - k)))
+        count = jnp.pad(count, ((0, 0), (0, k_pad - k)))
+    n_slices = k_pad // cw
+    w_out = n_slices * _WIN_SLICE_W + 1     # +1: final-carry flush slot
+    # rightmost live child (robust even if liveness were not a prefix)
+    child_pos = jnp.arange(k_pad, dtype=_I32)[None, :]
+    last_live = jnp.max(jnp.where(count > 0, child_pos + 1, 0))
+    trip = (last_live + cw - 1) // cw
+
+    def comb(a, b):
+        fa, fb = a[0], b[0]
+        rest = tuple(
+            jnp.where(fb, xb, xa | xb) for xa, xb in zip(a[1:], b[1:])
+        )
+        return (fa | fb,) + rest
+
+    def body(c):
+        (s, okey, o0, o1, o2, o3,
+         pkey, p0, p1, p2, p3, prank, kept, drop) = c
+        f = lax.dynamic_slice(first, (0, s * cw), (r, cw))
+        cnt = lax.dynamic_slice(count, (0, s * cw), (r, cw))
+        w = f // SPAN_ALIGN
+        off = lax.rem(f, SPAN_ALIGN)
+        c1 = jnp.minimum(cnt, SPAN_ALIGN - off)
+        c2 = cnt - c1
+        live1 = cnt > 0
+        live2 = c2 > 0
+        key1 = jnp.where(live1, w, big)
+        key2 = jnp.where(live2, w + 1, key1)
+        end1 = off + c1
+        words1 = tuple(
+            jnp.where(live1,
+                      _lowmask(end1 - 32 * j) & ~_lowmask(off - 32 * j), 0)
+            for j in range(4)
+        )
+        words2 = tuple(
+            jnp.where(live2, _lowmask(c2 - 32 * j), 0) for j in range(4)
+        )
+
+        def inter(a, b):
+            return jnp.stack([a, b], axis=-1).reshape(r, -1)
+
+        key = inter(key1, key2)             # [r, SLICE_W]
+        m = [inter(a, b) for a, b in zip(words1, words2)]
+        bnd = jnp.concatenate(
+            [key[:, :1] != pkey[:, None], key[:, 1:] != key[:, :-1]], axis=1
+        )
+        rank = prank[:, None] + jnp.cumsum(bnd.astype(_I32), axis=1)
+        child_rank = rank[:, 1::2]
+        child_live = cnt > 0
+        child_drop = child_live & (child_rank >= win_cap)
+        kept = kept + jnp.sum((child_live & ~child_drop).astype(_I32), axis=1)
+        drop = drop | jnp.any(child_drop, axis=1)
+        drop_pos = jnp.repeat(child_drop, 2, axis=1)
+        m = [jnp.where(drop_pos, 0, x) for x in m]
+        # the open carry window continues into position 0 when keys match
+        cont = ~bnd[:, :1]
+        m = [
+            jnp.concatenate(
+                [x[:, :1] | jnp.where(cont, p[:, None], 0), x[:, 1:]], axis=1
+            )
+            for x, p in zip(m, (p0, p1, p2, p3))
+        ]
+        _, a0, a1, a2, a3 = lax.associative_scan(
+            comb, (bnd, m[0], m[1], m[2], m[3]), axis=1
+        )
+        # within-slice window-last positions; the slice's final position
+        # is never "last" here — it becomes the next carry.  The CARRIED
+        # window is emitted in this slice's leading block column when NOT
+        # continued (that column aliases the previous slice's final
+        # position, which was always written big) — otherwise a window
+        # ending exactly at a slice boundary would be lost.
+        last = jnp.concatenate(
+            [key[:, :-1] != key[:, 1:],
+             jnp.zeros_like(key[:, :1], bool)], axis=1
+        )
+        keep = jnp.where(last & (key < big) & (rank < win_cap), key, big)
+        emit0 = jnp.where(
+            (~cont[:, 0]) & (pkey >= 0) & (pkey < big) & (prank < win_cap),
+            pkey, big,
+        )
+        # block layout: [carry emit | this slice's W positions], written
+        # at column s*W — block[0] aliases the PREVIOUS slice's final
+        # position (always written big), so each window is emitted exactly
+        # once: at its in-slice last position, in the next slice's leading
+        # column, or by the post-loop flush
+        blk_key = jnp.concatenate([emit0[:, None], keep], axis=1)
+        blk = [jnp.concatenate([p[:, None], a], axis=1)
+               for p, a in zip((p0, p1, p2, p3), (a0, a1, a2, a3))]
+        col = s * _WIN_SLICE_W
+        okey = lax.dynamic_update_slice(okey, blk_key, (0, col))
+        o0 = lax.dynamic_update_slice(o0, blk[0], (0, col))
+        o1 = lax.dynamic_update_slice(o1, blk[1], (0, col))
+        o2 = lax.dynamic_update_slice(o2, blk[2], (0, col))
+        o3 = lax.dynamic_update_slice(o3, blk[3], (0, col))
+        return (s + 1, okey, o0, o1, o2, o3,
+                key[:, -1], a0[:, -1], a1[:, -1], a2[:, -1], a3[:, -1],
+                rank[:, -1], kept, drop)
+
+    init = (
+        jnp.int32(0),
+        jnp.full((r, w_out), big, _I32),
+        jnp.zeros((r, w_out), _I32), jnp.zeros((r, w_out), _I32),
+        jnp.zeros((r, w_out), _I32), jnp.zeros((r, w_out), _I32),
+        jnp.full((r,), -1, _I32),
+        jnp.zeros((r,), _I32), jnp.zeros((r,), _I32),
+        jnp.zeros((r,), _I32), jnp.zeros((r,), _I32),
+        jnp.full((r,), -1, _I32),
+        jnp.zeros((r,), _I32), jnp.zeros((r,), bool),
+    )
+    (s_done, okey, o0, o1, o2, o3,
+     pkey, p0, p1, p2, p3, prank, kept_children, dropped) = lax.while_loop(
+        lambda c: c[0] < trip, body, init
+    )
+    # flush the final open window at the column after the last processed
+    # slice's block (that slice's final position, always written big)
+    fk = jnp.where(
+        (pkey >= 0) & (pkey < big) & (prank < win_cap), pkey, big
+    )
+    col = s_done * _WIN_SLICE_W
+    okey = lax.dynamic_update_slice(okey, fk[:, None], (0, col))
+    o0 = lax.dynamic_update_slice(o0, p0[:, None], (0, col))
+    o1 = lax.dynamic_update_slice(o1, p1[:, None], (0, col))
+    o2 = lax.dynamic_update_slice(o2, p2[:, None], (0, col))
+    o3 = lax.dynamic_update_slice(o3, p3[:, None], (0, col))
+    okey, o0, o1, o2, o3 = lax.sort((okey, o0, o1, o2, o3), dimension=1,
+                                    num_keys=1)
+    out_cap = min(win_cap, 2 * k)   # match the dense version's width
+    okey, o0, o1, o2, o3 = (x[:, :out_cap] for x in (okey, o0, o1, o2, o3))
+    live = okey < big
+    win_first = jnp.where(live, okey * SPAN_ALIGN, 0)
+    win_mask = jnp.stack(
+        [jnp.where(live, x, 0) for x in (o0, o1, o2, o3)], axis=1
     )
     return (win_first, win_mask, jnp.sum(live.astype(_I32), axis=1),
             kept_children, dropped)
@@ -599,13 +768,15 @@ def cell_band_lists(
     )                                                       # [Gc, 8, 14]
     kidf = jnp.concatenate([kidf, jnp.zeros((1, 8, 14), jnp.float32)])
 
-    # flat per-child spans for the near band: [8*g_cap + 1] (zero pad)
-    cf_flat = jnp.concatenate(
-        [cells.child_first.reshape(-1), jnp.zeros((1,), _I32)]
-    )
-    cc_flat = jnp.concatenate(
-        [cells.child_count.reshape(-1), jnp.zeros((1,), _I32)]
-    )
+    # flat per-child spans for the near band, PACKED two-wide so the
+    # near-list fetch is one row gather (~4.4 ns/row) instead of two
+    # element gathers (~9.3 ns/elem — measured 2x37 ms at 1M for the
+    # [T, near_cap] fetch, the single largest classify cost): [8g+1, 2]
+    fc_flat = jnp.concatenate([
+        jnp.stack([cells.child_first.reshape(-1),
+                   cells.child_count.reshape(-1)], axis=1),
+        jnp.zeros((1, 2), _I32),
+    ])
 
     centers = tgt_subs.center.reshape(t, SUB_FACTOR, 3)
     radii = tgt_subs.radius.reshape(t, SUB_FACTOR)
@@ -711,8 +882,8 @@ def cell_band_lists(
         # anti-rows (near count truncated to kept, ids -> pad): they keep
         # their own child monopole — graceful, flagged as near overflow.
         ni_safe = jnp.minimum(ni, k_cap)
-        sf = cf_flat[ni_safe]
-        scnt = cc_flat[ni_safe]
+        fc = fc_flat[ni_safe]                              # [C, near_cap, 2]
+        sf, scnt = fc[..., 0], fc[..., 1]
         wf, wm, win_cnt, kept, dropped = _window_masks(sf, scnt, cfg.win_cap_eff)
         nc_k = jnp.minimum(jnp.minimum(nc, near_cap), kept)
         lane_n = jnp.arange(near_cap, dtype=_I32)[None, :]

@@ -468,3 +468,67 @@ def test_win_cap_overflow_is_graceful():
         pos_p, mass_p, codes_p, base.replace(win_cap=2 * base.near_cap)
     ))[:n]
     np.testing.assert_array_equal(acc_f, acc_u)
+
+
+def test_window_masks_sliced_matches_dense():
+    """The sliced (while_loop) _window_masks must be output-identical to
+    the full-width dense reference across adversarial geometries: windows
+    straddling slice boundaries, long same-window OR chains, win_cap
+    suffix drops, empty rows, and a fully live width."""
+    from nbody_tpu.ops.forces import (
+        SPAN_ALIGN, _WIN_SLICE_W, _window_masks, _window_masks_dense,
+    )
+
+    rng = np.random.default_rng(7)
+    cw = _WIN_SLICE_W // 2
+
+    def rand_runs(k, max_gap, max_len, start=0):
+        """Ascending disjoint runs with random gaps (gap 0 keeps runs in
+        the same window -> OR chains)."""
+        firsts, counts = [], []
+        cur = start
+        for _ in range(k):
+            cur += int(rng.integers(0, max_gap + 1))
+            c = int(rng.integers(1, max_len + 1))
+            firsts.append(cur)
+            counts.append(c)
+            cur += c
+        return firsts, counts
+
+    cases = []
+    # dense chains: tiny runs, zero gaps -> many runs per window,
+    # chains crossing the slice boundary at child index cw
+    f, c = rand_runs(3 * cw, 2, 3)
+    cases.append((f, c, 3 * cw, 10**9))
+    # straddling runs: long runs crossing SPAN_ALIGN boundaries
+    f, c = rand_runs(cw + 5, 200, 2 * SPAN_ALIGN)
+    cases.append((f, c, cw + 5, 10**9))
+    # win_cap drop: more windows than cap
+    f, c = rand_runs(2 * cw, 300, 40)
+    cases.append((f, c, 2 * cw, 17))
+    # empty row
+    cases.append(([], [], 0, 8))
+    # exactly one child, one window
+    cases.append(([5], [3], 1, 8))
+    # full static width live
+    f, c = rand_runs(4 * cw, 50, 20)
+    cases.append((f, c, 4 * cw, 10**9))
+
+    k_cap = 4 * cw
+    for fi, ci, live, cap in cases:
+        first = np.zeros((2, k_cap), np.int32)
+        count = np.zeros((2, k_cap), np.int32)
+        first[0, :live] = fi
+        count[0, :live] = ci
+        # row 1: a shifted copy with half the children (different trip)
+        h = live // 2
+        first[1, :h] = np.asarray(fi[:h], np.int32) + 3 * SPAN_ALIGN
+        count[1, :h] = ci[:h]
+        a = jax.jit(lambda f, c: _window_masks(f, c, cap))(
+            jnp.asarray(first), jnp.asarray(count))
+        b = jax.jit(lambda f, c: _window_masks_dense(f, c, cap))(
+            jnp.asarray(first), jnp.asarray(count))
+        for x, y, name in zip(a, b, ["win_first", "win_mask", "win_cnt",
+                                     "kept", "dropped"]):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=f"{name} cap={cap}")

@@ -67,10 +67,10 @@ def make_stage(upto: str):
              cells.child_gmass[..., None], cells.child_skin[..., None],
              cells.gchild_complete.astype(jnp.float32)[..., None]], axis=-1)
         kidf = jnp.concatenate([kidf, jnp.zeros((1, 8, 14), jnp.float32)])
-        cf_flat = jnp.concatenate(
-            [cells.child_first.reshape(-1), jnp.zeros((1,), _I32)])
-        cc_flat = jnp.concatenate(
-            [cells.child_count.reshape(-1), jnp.zeros((1,), _I32)])
+        fc_flat = jnp.concatenate([
+            jnp.stack([cells.child_first.reshape(-1),
+                       cells.child_count.reshape(-1)], axis=1),
+            jnp.zeros((1, 2), _I32)])
 
         centers = tgt_subs.center.reshape(t, SUB_FACTOR, 3)
         radii = tgt_subs.radius.reshape(t, SUB_FACTOR)
@@ -146,8 +146,53 @@ def make_stage(upto: str):
             if upto == "compact3":
                 return (ni[:, 0],)
             ni_safe = jnp.minimum(ni, k_cap)
-            sf = cf_flat[ni_safe]
-            scnt = cc_flat[ni_safe]
+            fc = fc_flat[ni_safe]
+            sf, scnt = fc[..., 0], fc[..., 1]
+            if upto in ("winscan", "winsort"):
+                # _window_masks split at its two expensive internals: the
+                # 5-operand segmented-OR scan ("winscan") and the final
+                # 5-operand pack sort ("winsort" == full windows)
+                from nbody_tpu.ops.forces import SPAN_ALIGN, _lowmask
+                big2 = jnp.iinfo(jnp.int32).max // 2 * 2
+                w = sf // SPAN_ALIGN
+                off = lax.rem(sf, SPAN_ALIGN)
+                c1 = jnp.minimum(scnt, SPAN_ALIGN - off)
+                c2 = scnt - c1
+                live1 = scnt > 0
+                live2 = c2 > 0
+                key1 = jnp.where(live1, w, big2)
+                key2 = jnp.where(live2, w + 1, key1)
+                end1 = off + c1
+                words1 = tuple(
+                    jnp.where(live1, _lowmask(end1 - 32 * j) & ~_lowmask(off - 32 * j), 0)
+                    for j in range(4))
+                words2 = tuple(jnp.where(live2, _lowmask(c2 - 32 * j), 0) for j in range(4))
+                rr, kk = sf.shape
+
+                def inter(a, b):
+                    return jnp.stack([a, b], axis=-1).reshape(rr, -1)
+
+                key = inter(key1, key2)
+                m0, m1, m2, m3 = (inter(a, b) for a, b in zip(words1, words2))
+                bnd = jnp.concatenate(
+                    [jnp.ones_like(key[:, :1], bool), key[:, 1:] != key[:, :-1]], axis=1)
+                rank = jnp.cumsum(bnd.astype(_I32), axis=1) - 1
+
+                def comb(a, b):
+                    fa, fb = a[0], b[0]
+                    rest = tuple(jnp.where(fb, xb, xa | xb) for xa, xb in zip(a[1:], b[1:]))
+                    return (fa | fb,) + rest
+
+                _, m0, m1, m2, m3 = lax.associative_scan(
+                    comb, (bnd, m0, m1, m2, m3), axis=1)
+                if upto == "winscan":
+                    return (m0[:, 0] | m1[:, 0] | m2[:, 0] | m3[:, 0],)
+                last = jnp.concatenate(
+                    [key[:, :-1] != key[:, 1:], jnp.ones_like(key[:, :1], bool)], axis=1)
+                keep = jnp.where(last & (key < big2) & (rank < cfg.win_cap_eff), key, big2)
+                keep, m0, m1, m2, m3 = lax.sort((keep, m0, m1, m2, m3), dimension=1,
+                                                num_keys=1)
+                return (keep[:, 0],)
             wf, wm, win_cnt, kept, dropped = _window_masks(sf, scnt, cfg.win_cap_eff)
             return (win_cnt,)
 
@@ -163,7 +208,7 @@ base = time_fn(noop, jnp.zeros((8,), jnp.float32), iters=10)["median_ms"]
 print(f"[relay] {base:.1f} ms (subtracted); caps sup={cfg.sup_cap} "
       f"mid={cfg.mid_cap} cmid={cfg.cmid_cap} near={cfg.near_cap}", flush=True)
 for name in ["stage1", "compact1", "stage2", "compact2", "stage3",
-             "compact3", "windows"]:
+             "compact3", "winscan", "winsort", "windows"]:
     f = jax.jit(make_stage(name))
     out = f(tgt, supers, cells); _sync(out)
     t = time_fn(f, tgt, supers, cells, iters=6, warmup=1)
