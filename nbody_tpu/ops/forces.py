@@ -844,32 +844,61 @@ def cell_band_lists(
 
         # stage 3: the failing cells' children, each tested on its own
         # monopole; failing children refine to grandchildren (cmid) if the
-        # gc-COM-box bound passes, else exact P2P (near)
+        # gc-COM-box bound passes, else exact P2P (near).  LIVE-GATED: the
+        # mid list is live-prefix packed, so a while_loop processes SL3
+        # cells (8*SL3 children) at a time up to the chunk's live maximum
+        # — the kidf row gather and the child panel (the costliest
+        # classify compute) follow demand instead of the static mid_cap
+        # (mean mid_cnt ~60 vs the 320 cap at 1M); untouched slices keep
+        # the `big` key init, exactly what the full-width math produces
+        # for pad cells.
         midc = jnp.minimum(mid_idx, g_cap)                 # pad -> g_cap
-        kf = kidf[midc].reshape(c_rows, mid_cap * 8, 14)   # [C, K3, 14]
-        kid_id = (midc[:, :, None] * 8 + arange8[None, None, :]).reshape(
-            c_rows, -1
-        )                                                  # pad -> >= k_cap
-        ksk = kf[..., 12] + half
-        distk = jnp.sqrt(sub_gap(kf[..., 0:3], kf[..., 12]) ** 2 + soft)
-        live = (kf[..., 11] > 0) & (kid_id < k_cap)
-        failk = ((kf[..., 3] + 2.0 * ksk) / distk >= theta) & live
-        blo = kf[..., 5:8]
-        bhi = kf[..., 8:11]
-        cl = jnp.clip(ctr[:, None, :, :], blo[:, :, None, :], bhi[:, :, None, :])
-        gap_box = jnp.linalg.norm(cl - ctr[:, None, :, :], axis=-1) - rad_t[:, None, :]
-        gap_box = jnp.maximum(
-            jnp.maximum(jnp.min(gap_box, axis=-1), 0.0) - ksk, 0.0
+        sl3 = 32
+        mid_pad = -(-mid_cap // sl3) * sl3
+        if mid_pad != mid_cap:
+            midc = jnp.pad(midc, ((0, 0), (0, mid_pad - mid_cap)),
+                           constant_values=g_cap)
+        trip3 = lax.div(jnp.max(jnp.minimum(mc_raw, mid_cap)) + sl3 - 1,
+                        jnp.int32(sl3))
+
+        def stage3_slice(s):
+            i, kc, kn = s
+            msl = lax.dynamic_slice(midc, (0, i * sl3), (c_rows, sl3))
+            kf = kidf[msl].reshape(c_rows, sl3 * 8, 14)
+            kid_id = (msl[:, :, None] * 8 + arange8[None, None, :]).reshape(
+                c_rows, -1
+            )                                              # pad -> >= k_cap
+            ksk = kf[..., 12] + half
+            distk = jnp.sqrt(sub_gap(kf[..., 0:3], kf[..., 12]) ** 2 + soft)
+            live = (kf[..., 11] > 0) & (kid_id < k_cap)
+            failk = ((kf[..., 3] + 2.0 * ksk) / distk >= theta) & live
+            blo = kf[..., 5:8]
+            bhi = kf[..., 8:11]
+            cl = jnp.clip(ctr[:, None, :, :], blo[:, :, None, :],
+                          bhi[:, :, None, :])
+            gap_box = (jnp.linalg.norm(cl - ctr[:, None, :, :], axis=-1)
+                       - rad_t[:, None, :])
+            gap_box = jnp.maximum(
+                jnp.maximum(jnp.min(gap_box, axis=-1), 0.0) - ksk, 0.0
+            )
+            dist_box = jnp.sqrt(gap_box * gap_box + soft)
+            cmid_m = (
+                failk
+                & ((kf[..., 4] + 2.0 * ksk) / dist_box < theta)
+                & (kf[..., 13] > 0.5)   # grandchild segments complete
+            )
+            near_m = failk & ~cmid_m
+            kcs = jnp.where(cmid_m, kid_id, big)
+            kns = jnp.where(near_m, kid_id + big // 2, big)
+            kc = lax.dynamic_update_slice(kc, kcs, (0, i * sl3 * 8))
+            kn = lax.dynamic_update_slice(kn, kns, (0, i * sl3 * 8))
+            return i + 1, kc, kn
+
+        key_init = jnp.full((c_rows, mid_pad * 8), big, _I32)
+        _, key_c, key_n = lax.while_loop(
+            lambda s: s[0] < trip3, stage3_slice,
+            (jnp.int32(0), key_init, key_init),
         )
-        dist_box = jnp.sqrt(gap_box * gap_box + soft)
-        cmid_m = (
-            failk
-            & ((kf[..., 4] + 2.0 * ksk) / dist_box < theta)
-            & (kf[..., 13] > 0.5)   # grandchild segments complete
-        )
-        near_m = failk & ~cmid_m
-        key_c = jnp.where(cmid_m, kid_id, big)
-        key_n = jnp.where(near_m, kid_id + big // 2, big)
         ci, cc, ni, nc = _row_compact_two(key_c, key_n, big, cmid_cap, near_cap)
 
         # near windows: each child's contiguous run splits at its single
@@ -1022,24 +1051,81 @@ def build_cell_tables(cells, supers: Supers, bands: CellBands) -> TableSet:
     # invalid items already point at zero rows)
     key = jnp.where(valid, jnp.arange(items.shape[1], dtype=_I32)[None, :], big)
     _, items = lax.sort((key, items), dimension=1, num_keys=1)
-    # one 36-float-row gather, then strided component extraction into
-    # PLANAR [T, 9K] planes (a [T, R, 4] result would lane-pad 4->128:
-    # 32x memory — see TableSet); the [T, K, 36] transient pads ~3.6x
-    g36 = ext_all[items]                              # [T, K, 36]
-
     antiN = jnp.concatenate([anti_child, jnp.zeros((1, 4), jnp.float32)])
-    aN = antiN[jnp.minimum(bands.near_idx, k_cap)]    # [T, near_cap, 4]
-    near_cap = aN.shape[1]
 
-    def plane(i):
-        items_i = g36[:, :, i::4].reshape(t, -1)      # [T, 9K]
-        near_i = aN[:, :, i]                          # [T, near_cap]
-        return jnp.concatenate([near_i, items_i], axis=1)
+    # 36-float-row gathers, then strided component extraction into PLANAR
+    # [T, 9K] planes (a [T, R, 4] result would lane-pad 4->128: 32x
+    # memory — see TableSet).  Both gathers are CHUNKED over targets and
+    # LIVE-GATED over their row axes: items and near ids are live-prefix
+    # packed with pads resolving to zero rows, so a while_loop gathers
+    # only up to each chunk's live maximum and leaves the zero-initialized
+    # tail untouched — row-gather cost follows demand (~180 live items +
+    # ~125 near ids mean at 1M vs the 1088 + 1024 static caps), and the
+    # padded [C, K, 36] transient is per-chunk, not per-T.
+    k_items = items.shape[1]
+    near_cap = bands.near_idx.shape[1]
+    n_items = (bands.sup_cnt + bands.mid_cnt + bands.cmid_cnt).astype(_I32)
+    ni_safe = jnp.minimum(bands.near_idx, k_cap)
+    near_cnt = bands.near_cnt.astype(_I32)
 
+    tc = 256
+    t_pad = -(-t // tc) * tc
+    if t_pad != t:
+        # pad rows: all ids point at zero rows, counts 0
+        items = jnp.pad(items, ((0, t_pad - t), (0, 0)))  # id 0 = extA row 0
+        ni_safe = jnp.pad(ni_safe, ((0, t_pad - t), (0, 0)),
+                          constant_values=k_cap)
+        n_items = jnp.pad(n_items, (0, t_pad - t))
+        near_cnt_p = jnp.pad(near_cnt, (0, t_pad - t))
+    else:
+        near_cnt_p = near_cnt
+    sl_i = 128
+    sl_n = 128
+
+    def one_chunk(args):
+        it, ni, cnt_i, cnt_n = args       # [C,K],[C,near_cap],[C],[C]
+        c_rows = it.shape[0]
+
+        def gated_gather(ids, table, cnt, sl):
+            k = ids.shape[1]
+            w = table.shape[1]
+            out = jnp.zeros((c_rows, k, w), jnp.float32)
+            trip = lax.div(jnp.max(cnt) + sl - 1, sl)
+
+            def body(s):
+                i, out = s
+                sub = lax.dynamic_slice(ids, (0, i * sl), (c_rows, sl))
+                out = lax.dynamic_update_slice(out, table[sub], (0, i * sl, 0))
+                return i + 1, out
+
+            _, out = lax.while_loop(lambda s: s[0] < trip, body,
+                                    (jnp.int32(0), out))
+            return out
+
+        g36 = gated_gather(it, ext_all, cnt_i, sl_i)       # [C, K, 36]
+        a4 = gated_gather(ni, antiN, cnt_n, sl_n)          # [C, near_cap, 4]
+
+        def plane(i):
+            items_i = g36[:, :, i::4].reshape(c_rows, -1)  # [C, 9K]
+            return jnp.concatenate([a4[:, :, i], items_i], axis=1)
+
+        return plane(0), plane(1), plane(2), plane(3)
+
+    tx, ty, tz, tm = lax.map(
+        one_chunk,
+        (items.reshape(-1, tc, k_items),
+         ni_safe.reshape(-1, tc, near_cap),
+         n_items.reshape(-1, tc),
+         near_cnt_p.reshape(-1, tc)),
+    )
+    r_tot = near_cap + 9 * k_items
     row_cnt = near_cap + 9 * (bands.sup_cnt + bands.mid_cnt + bands.cmid_cnt)
-    return TableSet(tx=plane(0), ty=plane(1), tz=plane(2), tm=plane(3),
+    return TableSet(tx=tx.reshape(t_pad, r_tot)[:t],
+                    ty=ty.reshape(t_pad, r_tot)[:t],
+                    tz=tz.reshape(t_pad, r_tot)[:t],
+                    tm=tm.reshape(t_pad, r_tot)[:t],
                     row_cnt=row_cnt.astype(_I32),
-                    near_cnt=bands.near_cnt.astype(_I32))
+                    near_cnt=near_cnt)
 
 
 def table_sweep_jnp(tgt_pos: jax.Array, tables: "TableSet", cfg: SimConfig) -> jax.Array:
