@@ -151,6 +151,14 @@ def main():
     frames = max(k, -(-frames // k) * k)
     cfg = SimConfig(n=n, theta=0.5, use_pallas=on_tpu, rebuild_every=k,
                     force_tile=tile, hold_farmid=r)
+    # optional per-band cap overrides (cap tuning at non-1M workloads,
+    # e.g. NBODY_BENCH_CAPS=sup_cap:320,cmid_cap:768)
+    caps = os.environ.get("NBODY_BENCH_CAPS")
+    if caps:
+        cfg = cfg.replace(**{
+            kv.split(":")[0]: int(kv.split(":")[1])
+            for kv in caps.split(",") if kv
+        })
     sim = Simulation(cfg, method="barnes_hut")
     print(f"[bench] n={n} theta={cfg.theta} K={k} R={r} "
           f"platform={jax.devices()[0]}", file=sys.stderr)
