@@ -162,6 +162,12 @@ def main():
     sim = Simulation(cfg, method="barnes_hut")
     print(f"[bench] n={n} theta={cfg.theta} K={k} R={r} "
           f"platform={jax.devices()[0]}", file=sys.stderr)
+    tbl_gb = cfg.table_bytes / 2**30
+    if 2 * cfg.table_bytes > 11 << 30:
+        print(f"[bench] WARNING: band tables are {tbl_gb:.2f} GiB per "
+              "generation; the reuse runner double-buffers them across "
+              "rebuilds and has crashed the TPU worker near 2x9 GiB — "
+              "shrink caps or raise force_tile", file=sys.stderr)
 
     from nbody_tpu.utils.profiling import _sync
 

@@ -193,6 +193,17 @@ class SimConfig:
         cap = self.cell_cap_factor * self.n_groups + 64
         return -(-cap // 8) * 8
 
+    @property
+    def table_bytes(self) -> int:
+        """HBM footprint of ONE TableSet generation (4 fp32 planes of
+        near_cap + 9*(sup+mid+cmid) rows per target).  The band-reuse
+        runners hold up to TWO generations live while a rebuild computes
+        the next tables, so ~2x this plus state must fit in HBM — the
+        measured failure mode at 4M with generously sized caps was the
+        TPU worker dying in exactly that double-buffered window."""
+        rows = self.near_cap + 9 * (self.sup_cap + self.mid_cap + self.cmid_cap)
+        return 4 * 4 * self.n_groups * rows
+
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
 
@@ -221,7 +232,20 @@ PRESETS = {
     "v5_bench": SimConfig(n=1_000_000, rebuild_every=16, hold_farmid=8),
     # BASELINE config 2.
     "bh_100k": SimConfig(n=100_000, rebuild_every=16, hold_farmid=8),
-    # BASELINE config 5: multi-chip.
-    "sharded_4m": SimConfig(n=4_000_000, mesh_shape=(8,),
-                            rebuild_every=16, hold_farmid=8),
+    # BASELINE config 5's workload on ONE chip, 4M-tuned (PERF.md "4M
+    # retune"): force_tile=512 halves the super count (the far sweep and
+    # classify stage 1 are O(N*S) — tile 256 is 16x the 1M cost at 4M),
+    # caps sized from measured 4M demand (live sup max 277 / mid 250 /
+    # cmid 650 / near 473; 8-step skins), K=8 because 16-step envelopes
+    # saturate any affordable near cap at 4M.  Measured 843-851 ms/step
+    # sustained with overflow=false (vs 910 overflow=true before the
+    # retune).
+    "bh_4m": SimConfig(n=4_000_000, force_tile=512, rebuild_every=8,
+                       hold_farmid=4, sup_cap=384, mid_cap=512,
+                       cmid_cap=768, near_cap=1536, g2_cap_factor=6),
+    # BASELINE config 5: multi-chip (same tuned shape over a v5e-8 mesh).
+    "sharded_4m": SimConfig(n=4_000_000, mesh_shape=(8,), force_tile=512,
+                            rebuild_every=8, hold_farmid=4, sup_cap=384,
+                            mid_cap=512, cmid_cap=768, near_cap=1536,
+                            g2_cap_factor=6),
 }

@@ -532,3 +532,30 @@ def test_window_masks_sliced_matches_dense():
                                      "kept", "dropped"]):
             np.testing.assert_array_equal(
                 np.asarray(x), np.asarray(y), err_msg=f"{name} cap={cap}")
+
+
+def test_grouped_forces_at_force_tile_512():
+    """The 4M-tuned presets run force_tile=512 (PERF.md '4M retune'):
+    the band decomposition must stay exact-within-theta there too —
+    child runs are 64 particles (still <= the 2-window split invariant)
+    and the near/window machinery sees a different granularity."""
+    pos, mass = _cloud(6000, seed=3)
+    cfg = SimConfig(n=6000, theta=0.5, force_tile=512, use_pallas=False,
+                    check_overflow=False)
+    from nbody_tpu.models.simulation import sort_by_morton
+
+    sc, perm, lo, size = sort_by_morton(pos, cfg)
+    ps, ms, cs = forces.pad_sorted(pos[perm], mass[perm], sc, cfg.force_tile)
+    acc = np.asarray(forces.bh_forces_grouped(ps, ms, cs, cfg))[: pos.shape[0]]
+    ref = _numpy_direct(pos[perm], mass[perm], cfg.g, forces.soft_term(cfg))
+    err = np.linalg.norm(acc - ref, axis=1) / (np.linalg.norm(ref, axis=1) + 1e-9)
+    # theta=0.5 monopole truncation error bound (matches the 256-tile test)
+    assert float(np.median(err)) < 0.01
+    assert float(np.max(err)) < 0.2
+
+
+def test_table_bytes_accounting():
+    cfg = SimConfig(n=4_000_000, force_tile=512, sup_cap=384, mid_cap=512,
+                    cmid_cap=768, near_cap=1536)
+    rows = 1536 + 9 * (384 + 512 + 768)
+    assert cfg.table_bytes == 4 * 4 * cfg.n_groups * rows
