@@ -1088,6 +1088,7 @@ def build_cell_tables(cells, supers: Supers, bands: CellBands) -> TableSet:
 
         def gated_gather(ids, table, cnt, sl):
             k = ids.shape[1]
+            sl = min(sl, k)   # small configs have fewer columns than a slice
             w = table.shape[1]
             out = jnp.zeros((c_rows, k, w), jnp.float32)
             trip = lax.div(jnp.max(cnt) + sl - 1, sl)
