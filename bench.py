@@ -45,7 +45,8 @@ def band_flops(cfg, bands, n_pad, s_used):
     # far/mid sweeps gate compute per SB-wide quarter-slice of each chunk;
     # the mid table has TWO live-prefix regions (near anti rows, items)
     far = 18 * n_pad * (-(-s_used // SB) * SB)
-    row_cnt = cfg.near_cap + 9 * (bands.sup_cnt + bands.mid_cnt + bands.cmid_cnt)
+    row_cnt = cfg.near_cap + 9 * (bands.ss_cnt + bands.sup_cnt
+                                  + bands.mid_cnt + bands.cmid_cnt)
     near_q = -(-bands.near_cnt // SB)
     item_q = -(-row_cnt // SB) - cfg.near_cap // SB
     mid_slices = int(jnp.sum(near_q + item_q))
@@ -59,8 +60,8 @@ def band_flops(cfg, bands, n_pad, s_used):
     live_lanes = int(jnp.sum(_lax.population_count(bands.win_mask)))
     useful_near = 18 * live_lanes * cfg.force_tile
     useful_rows = 9 * (
-        int(jnp.sum(bands.sup_cnt)) + int(jnp.sum(bands.mid_cnt))
-        + int(jnp.sum(bands.cmid_cnt))
+        int(jnp.sum(bands.ss_cnt)) + int(jnp.sum(bands.sup_cnt))
+        + int(jnp.sum(bands.mid_cnt)) + int(jnp.sum(bands.cmid_cnt))
     ) + int(jnp.sum(bands.near_cnt))
     useful = 18 * (n_pad * s_used + useful_rows * cfg.force_tile) + useful_near
     return far + mid + near, useful
@@ -247,7 +248,7 @@ def main():
         # coarser monopole); cell overflow would be silently missing mass
         # and is reported separately
         extra["overflow_bands"] = bool(
-            bands.sup_overflow | bands.mid_overflow
+            bands.ss_overflow | bands.sup_overflow | bands.mid_overflow
             | bands.cmid_overflow | bands.near_overflow
         )
         extra["overflow_cells"] = bool(cells.overflow)
@@ -255,7 +256,8 @@ def main():
         # P2P — perf effect, never missing/approximated mass beyond theta)
         extra["overflow_g2_graceful"] = bool(cells.overflow_g2)
         extra["overflow"] = extra["overflow_bands"] or extra["overflow_cells"]
-        print(f"[bench] bands: sup={float(jnp.mean(bands.sup_cnt)):.1f} "
+        print(f"[bench] bands: ss={float(jnp.mean(bands.ss_cnt)):.1f} "
+              f"sup={float(jnp.mean(bands.sup_cnt)):.1f} "
               f"mid={float(jnp.mean(bands.mid_cnt)):.1f} "
               f"cmid={float(jnp.mean(bands.cmid_cnt)):.1f} "
               f"near={float(jnp.mean(bands.near_cnt)):.1f} "
@@ -281,19 +283,29 @@ def main():
             n_drift = reps * frames
             e0 = float(metrics.total_energy(state, cfg))
             state2 = state
+            t_all0 = time.perf_counter()
             for i in range(reps):
                 if i == reps - 1:
                     _sync(state2)
                     t0 = time.perf_counter()
                 state2 = sim.run_scan(state2, frames)
             _sync(state2)
-            hot = (time.perf_counter() - t0) / frames
+            t_end = time.perf_counter()
+            hot = (t_end - t0) / frames
+            # whole-run average over the FULL >= 1000-step evolution — the
+            # reference bench's actual workload is 1000 EVOLVING frames
+            # (nbody_v5_bench.cu:353-366), so the honest parity number is
+            # this average, not the near-IC headline or the hot endpoint
+            avg = n_drift / (t_end - t_all0)
             e1 = float(metrics.total_energy(state2, cfg))
             extra["drift"] = round(metrics.energy_drift(e0, e1), 6)
             extra["drift_steps"] = n_drift
             extra["value_hot"] = round(1.0 / hot, 3)
+            extra["value_avg_1k"] = round(avg, 3)
             print(f"[bench] E0={e0:.6e} E1={e1:.6e} "
                   f"drift_{n_drift}={extra['drift']}", file=sys.stderr)
+            print(f"[bench] whole-run average over {n_drift} steps: "
+                  f"{1e3/avg:.2f} ms  ({avg:.2f} steps/s)", file=sys.stderr)
             print(f"[bench] hot-state step (after {n_drift - frames} steps): "
                   f"{hot*1e3:.2f} ms  ({1.0/hot:.2f} steps/s)", file=sys.stderr)
         except Exception as e:

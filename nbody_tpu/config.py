@@ -53,6 +53,15 @@ class SimConfig:
     # if an unforeseen state exceeds them, and the adaptive runner then
     # shrinks its envelope horizon until demand fits (k_env feedback,
     # models/simulation.py).
+    ss_cap: int = 192              # max MAC-failing SUPER-SUPERS (level-3
+                                   # aggregates of 64 cells — the far
+                                   # sweep's source level) per target;
+                                   # each refines to its 8 member supers
+                                   # (+ anti-SS row).  At 1M there are
+                                   # only ~171 super-supers total, so the
+                                   # default can never overflow there;
+                                   # overflow is graceful (the SS keeps
+                                   # its own monopole) and flagged
     sup_cap: int = 256             # max MAC-failing supers per target
                                    # (each refines to 8 cells; overflow
                                    # flagged)
@@ -189,9 +198,11 @@ class SimConfig:
 
     @property
     def cell_capacity(self) -> int:
-        """Static capacity for adaptive source cells (multiple of 8)."""
+        """Static capacity for adaptive source cells (multiple of 64, so
+        cells group into whole supers and supers into whole super-supers
+        with no ragged tail)."""
         cap = self.cell_cap_factor * self.n_groups + 64
-        return -(-cap // 8) * 8
+        return -(-cap // 64) * 64
 
     @property
     def table_bytes(self) -> int:
@@ -201,7 +212,9 @@ class SimConfig:
         the next tables, so ~2x this plus state must fit in HBM — the
         measured failure mode at 4M with generously sized caps was the
         TPU worker dying in exactly that double-buffered window."""
-        rows = self.near_cap + 9 * (self.sup_cap + self.mid_cap + self.cmid_cap)
+        rows = self.near_cap + 9 * (
+            self.ss_cap + self.sup_cap + self.mid_cap + self.cmid_cap
+        )
         return 4 * 4 * self.n_groups * rows
 
     def replace(self, **kw) -> "SimConfig":

@@ -366,8 +366,9 @@ def _adaptive_rebuild_fn(cfg: SimConfig):
         # growing it — reuse length self-tunes to the largest skin the
         # caps can absorb.  Caps are sized so live demand always fits
         # (config.py), so k_next=1 (skinless) never overflows.
-        overflowed = (bands.sup_overflow | bands.mid_overflow
-                      | bands.cmid_overflow | bands.near_overflow)
+        overflowed = (bands.ss_overflow | bands.sup_overflow
+                      | bands.mid_overflow | bands.cmid_overflow
+                      | bands.near_overflow)
         k_next = jnp.where(
             overflowed,
             jnp.maximum(k_env // 2, 1),

@@ -312,43 +312,88 @@ def target_subspheres(
 
 
 class Supers(NamedTuple):
-    """Level-2 source aggregates: 8 consecutive adaptive cells each.
+    """Level-2/3 source aggregates.
 
-    `com`/`gmass` feed the dense far sweep (far_sweep_* reads exactly
-    these two fields); diam is the MAC size for refinement to cells.
+    The same structure serves two levels: SUPERS (8 consecutive adaptive
+    cells each, `make_supers`) and SUPER-SUPERS (8 consecutive supers =
+    64 cells, `make_supersupers` — the top level the dense far sweep
+    runs over; far_sweep_* reads exactly com/gmass/n_supers).  diam is
+    the MAC size for refinement to the next level down.
     """
 
     com: jax.Array      # [S, 3]
     gmass: jax.Array    # [S]
-    diam: jax.Array     # [S] max bbox extent over member cells
-    skin: jax.Array     # [S] max member-cell drift bound
-    n_supers: jax.Array # [] int32 (ceil(n_cells / 8))
+    diam: jax.Array     # [S] max bbox extent over members
+    lo: jax.Array       # [S, 3] member bbox lower corner (+inf if empty)
+    hi: jax.Array       # [S, 3] member bbox upper corner (-inf if empty)
+    skin: jax.Array     # [S] max member drift bound
+    n_supers: jax.Array # [] int32 live count (ceil(n_members_live / 8))
+
+
+def _aggregate8(com, gmass, lo, hi, skin, n_live):
+    """Shared 8-to-1 aggregation: mass-weighted COM, bbox union, skin
+    max.  Inputs are member-level arrays whose length is a multiple of 8
+    (live members form a prefix; empty members carry gmass 0,
+    lo=+inf/hi=-inf)."""
+    s = gmass.shape[0] // 8
+    gm = gmass.reshape(s, 8)
+    msum = jnp.sum(gm, axis=1)
+    c = jnp.sum(
+        com.reshape(s, 8, 3) * gm[..., None], axis=1
+    ) / jnp.maximum(msum, 1e-20)[:, None]
+    alo = jnp.min(lo.reshape(s, 8, 3), axis=1)
+    ahi = jnp.max(hi.reshape(s, 8, 3), axis=1)
+    valid = msum > 0
+    diam = jnp.where(valid, jnp.max(ahi - alo, axis=1), 0.0)
+    return Supers(
+        com=jnp.where(valid[:, None], c, 0.0),
+        gmass=msum,
+        diam=diam,
+        lo=alo,
+        hi=ahi,
+        skin=jnp.max(skin.reshape(s, 8), axis=1),
+        n_supers=(n_live + 7) // 8,
+    )
 
 
 def make_supers(cells) -> Supers:
-    g_cap = cells.gmass.shape[0]
-    s = g_cap // 8
-    gm = cells.gmass.reshape(s, 8)
-    msum = jnp.sum(gm, axis=1)
-    com = jnp.sum(
-        cells.com.reshape(s, 8, 3) * gm[..., None], axis=1
-    ) / jnp.maximum(msum, 1e-20)[:, None]
-    lo = jnp.min(cells.lo.reshape(s, 8, 3), axis=1)
-    hi = jnp.max(cells.hi.reshape(s, 8, 3), axis=1)
-    valid = msum > 0
-    diam = jnp.where(valid, jnp.max(hi - lo, axis=1), 0.0)
-    return Supers(
-        com=jnp.where(valid[:, None], com, 0.0),
-        gmass=msum,
-        diam=diam,
-        skin=jnp.max(cells.skin.reshape(s, 8), axis=1),
-        n_supers=(cells.n_cells + 7) // 8,
+    return _aggregate8(
+        cells.com, cells.gmass, cells.lo, cells.hi, cells.skin,
+        cells.n_cells,
+    )
+
+
+def make_supersupers(supers: Supers) -> Supers:
+    """Level-3 aggregates: 8 consecutive supers (= 64 cells) each — the
+    far sweep's source level.  The classification refines failing
+    super-supers to their member supers (with an anti-SS table row), so
+    the far/mid panel work per target scales with the ~S/8 super-super
+    count instead of S (the O(N*S) term that quadrupled the 4M far sweep
+    and classify stage 1 per 4x N — PERF.md '4M retune')."""
+    s = supers.gmass.shape[0]
+    s_pad = -(-s // 8) * 8
+    if s_pad != s:
+        pad = s_pad - s
+        big_f = jnp.float32(3.0e38)
+        supers = Supers(
+            com=jnp.pad(supers.com, ((0, pad), (0, 0))),
+            gmass=jnp.pad(supers.gmass, (0, pad)),
+            diam=jnp.pad(supers.diam, (0, pad)),
+            lo=jnp.pad(supers.lo, ((0, pad), (0, 0)), constant_values=big_f),
+            hi=jnp.pad(supers.hi, ((0, pad), (0, 0)), constant_values=-big_f),
+            skin=jnp.pad(supers.skin, (0, pad)),
+            n_supers=supers.n_supers,
+        )
+    return _aggregate8(
+        supers.com, supers.gmass, supers.lo, supers.hi, supers.skin,
+        supers.n_supers,
     )
 
 
 class CellBands(NamedTuple):
     """Per-target source classification over the adaptive cell hierarchy.
 
+    ss:   super-supers failing the MAC (refine to their 8 member supers);
     sup:  supers failing the MAC (refine to their 8 member cells);
     mid:  cells failing the MAC (refine to their 8 children);
     cmid: children failing whose grandchildren all pass (refine to the 8
@@ -364,6 +409,8 @@ class CellBands(NamedTuple):
           ranges, so the mask OR never double-counts a lane).
     """
 
+    ss_idx: jax.Array     # [T, ss_cap] int32 super-super ids (pad: n_ss)
+    ss_cnt: jax.Array
     sup_idx: jax.Array    # [T, sup_cap] int32 super ids (pad: n_sup)
     sup_cnt: jax.Array
     mid_idx: jax.Array    # [T, mid_cap] int32 cell ids (pad: g_cap)
@@ -382,6 +429,7 @@ class CellBands(NamedTuple):
                           # validity mask per window (word w covers lanes
                           # [32w, 32w+32); pad windows are all-zero)
     win_cnt: jax.Array    # [T] int32 live window count
+    ss_overflow: jax.Array
     sup_overflow: jax.Array
     mid_overflow: jax.Array
     cmid_overflow: jax.Array
@@ -704,18 +752,21 @@ def _row_compact_two(key_lo, key_hi, big, cap_lo, cap_hi):
 
 
 def cell_band_lists(
-    tgt_subs: GroupInfo, supers: Supers, cells, cfg: SimConfig,
+    tgt_subs: GroupInfo, ss: Supers, supers: Supers, cells, cfg: SimConfig,
     skin=0.0,
 ) -> CellBands:
-    """Three-stage classification, chunked over targets.
+    """Four-stage classification, chunked over targets.
 
-    Stage 1 tests every SUPER against the target's sub-spheres (min gap);
-    failing supers are listed.  Stage 2 gathers only the ~sup_cap*8
-    candidate cells of those supers; failing cells are listed (mid).
-    Stage 3 tests the failing cells' 8 children each: a failing child is
-    refined to its grandchild monopoles if those pass (cmid) or marked for
-    exact P2P (near); near child runs are then converted to deduplicated
-    aligned windows with lane masks (_window_masks).
+    Stage 0 tests every SUPER-SUPER (the ~S/8 level-3 aggregates — the
+    only dense panel over all sources) against the target's sub-spheres
+    (min gap); failing super-supers are listed.  Stage 1 gathers only the
+    failing super-supers' member supers (live-gated slices); failing
+    supers are listed.  Stage 2 gathers only the failing supers' cells
+    (live-gated); failing cells are listed (mid).  Stage 3 tests the
+    failing cells' 8 children each: a failing child is refined to its
+    grandchild monopoles if those pass (cmid) or marked for exact P2P
+    (near); near child runs are then converted to deduplicated aligned
+    windows with lane masks (_window_masks).
 
     `skin` is a conservative UNIFORM margin for band REUSE across steps;
     per-entity skins (cells.skin / child_skin / supers.skin / the target
@@ -728,16 +779,31 @@ def cell_band_lists(
     most its own drift bound (+ skin/2 uniformly).  `skin` may be a
     traced scalar.
     """
-    s_cap = cfg.sup_cap
+    ss_cap, s_cap = cfg.ss_cap, cfg.sup_cap
     mid_cap, cmid_cap, near_cap = cfg.mid_cap, cfg.cmid_cap, cfg.near_cap
     theta = cfg.theta
     soft = soft_term(cfg)
+    n_ss = ss.com.shape[0]
     n_sup = supers.com.shape[0]
     g_cap = cells.gmass.shape[0]
     k_cap = 8 * g_cap
     t = tgt_subs.center.shape[0] // SUB_FACTOR
     big = jnp.iinfo(jnp.int32).max // 2 * 2  # even sentinel
     half = 0.5 * jnp.asarray(skin, jnp.float32)
+
+    # packed per-super fields for stage 1, grouped by SUPER-SUPER so one
+    # row gather fetches all 8 member supers: [n_ss+1, 8, 6] (zero pad
+    # row; gmass rides along so empty members never fail the MAC)
+    sup_pad8 = 8 * n_ss
+    supf = jnp.concatenate(
+        [supers.com, supers.diam[:, None], supers.skin[:, None],
+         supers.gmass[:, None]], axis=1,
+    )
+    if sup_pad8 != n_sup:
+        supf = jnp.pad(supf, ((0, sup_pad8 - n_sup), (0, 0)))
+    supf8 = jnp.concatenate(
+        [supf.reshape(n_ss, 8, 6), jnp.zeros((1, 8, 6), jnp.float32)]
+    )
 
     # packed per-cell fields for stage 2, grouped by SUPER so one row
     # gather fetches all 8 member cells: [n_sup+1, 8, 5] (zero pad row)
@@ -782,10 +848,10 @@ def cell_band_lists(
     radii = tgt_subs.radius.reshape(t, SUB_FACTOR)
     tskins = tgt_subs.skin.reshape(t, SUB_FACTOR)
     # chunk rows so the per-chunk panel working set stays bounded; the
-    # stage-1 intermediates are ~24*n_sup floats per row, stage 2
-    # ~15*8*sup_cap, stage 3 ~30*8*mid_cap (caps are tunable, so the
-    # budget must track them, not just n_sup)
-    per_row = 24 * n_sup + 120 * s_cap + 250 * mid_cap
+    # stage-0 intermediates are ~24*n_ss floats per row, the gated
+    # stage-1/2 key arrays ~8*(ss_cap + sup_cap) ints, stage 3
+    # ~30*8*mid_cap (caps are tunable, so the budget must track them)
+    per_row = 24 * n_ss + 120 * ss_cap + 120 * s_cap + 250 * mid_cap
     chunk = max(8, min(256, (28 << 20) // max(per_row, 1)))
     t_pad = -(-t // chunk) * chunk
     centers = jnp.pad(centers, ((0, t_pad - t), (0, 0), (0, 0)))
@@ -795,7 +861,7 @@ def cell_band_lists(
     # the origin and would otherwise trip the overflow flags)
     row_real = (jnp.arange(t_pad, dtype=_I32) < t).reshape(-1, chunk)
 
-    sup_ids = jnp.arange(n_sup, dtype=_I32)[None, :]
+    ss_ids = jnp.arange(n_ss, dtype=_I32)[None, :]
     arange8 = jnp.arange(8, dtype=_I32)
 
     def one_chunk(args):
@@ -812,35 +878,75 @@ def cell_band_lists(
             gap = jnp.maximum(jnp.min(gap, axis=-1), 0.0)
             return jnp.maximum(gap - (src_skin + half), 0.0)
 
-        # stage 1: supers
-        d = supers.com[None, :, None, :] - ctr[:, None, :, :]
+        def gated_mac(idx_list, cnt_raw, cap, pack, n_rows, id_cap, sl):
+            """Live-gated child-of-listed-parent MAC: a while_loop tests
+            `sl` listed parents (8 members each) per iteration up to the
+            chunk's live maximum, writing failing member ids into a
+            big-initialized key array.  pack [n_rows+1, 8, F] carries
+            (com3, diam, skin, gmass) per member; members with zero gmass
+            (empty / structural pad) never fail.  Returns the key array
+            [C, cap_pad*8] for _row_compact_one."""
+            cap_pad = -(-cap // sl) * sl
+            ids = jnp.minimum(idx_list, n_rows)        # pad -> zero row
+            if cap_pad != cap:
+                ids = jnp.pad(ids, ((0, 0), (0, cap_pad - cap)),
+                              constant_values=n_rows)
+            trip = lax.div(jnp.max(jnp.minimum(cnt_raw, cap)) + sl - 1,
+                           jnp.int32(sl))
+
+            def body(s):
+                i, keys = s
+                psl = lax.dynamic_slice(ids, (0, i * sl), (c_rows, sl))
+                f = pack[psl].reshape(c_rows, sl * 8, 6)
+                kid = (psl[:, :, None] * 8
+                       + arange8[None, None, :]).reshape(c_rows, -1)
+                sk = f[..., 4] + half
+                dist = jnp.sqrt(sub_gap(f[..., 0:3], f[..., 4]) ** 2 + soft)
+                fail = (((f[..., 3] + 2.0 * sk) / dist >= theta)
+                        & (f[..., 5] > 0) & (kid < id_cap))
+                keys = lax.dynamic_update_slice(
+                    keys, jnp.where(fail, kid, big), (0, i * sl * 8)
+                )
+                return i + 1, keys
+
+            key_init = jnp.full((c_rows, cap_pad * 8), big, _I32)
+            _, keys = lax.while_loop(lambda s: s[0] < trip, body,
+                                     (jnp.int32(0), key_init))
+            return keys
+
+        # stage 0: super-supers — the only dense panel over all sources
+        d = ss.com[None, :, None, :] - ctr[:, None, :, :]
         gap = jnp.sqrt(jnp.sum(d * d, axis=-1)) - rad_t[:, None, :]
-        ssk = supers.skin[None, :] + half
-        gap = jnp.maximum(jnp.maximum(jnp.min(gap, axis=-1), 0.0) - ssk, 0.0)
+        sssk = ss.skin[None, :] + half
+        gap = jnp.maximum(jnp.maximum(jnp.min(gap, axis=-1), 0.0) - sssk, 0.0)
         dist = jnp.sqrt(gap * gap + soft)
-        fail1 = (supers.diam[None, :] + 2.0 * ssk) / dist >= theta
-        sup_cnt = jnp.sum(fail1.astype(_I32), axis=1)
-        sup_idx, _ = _row_compact_one(
-            jnp.where(fail1, sup_ids, big), big, s_cap
+        fail0 = ((ss.diam[None, :] + 2.0 * sssk) / dist >= theta) & (
+            ss.gmass > 0
+        )[None, :]
+        ss_idx, ss_cnt = _row_compact_one(
+            jnp.where(fail0, ss_ids, big), big, ss_cap
         )
 
-        # stage 2: the failing supers' cells (clamp BEFORE expanding — the
-        # `big` padding sentinel would overflow int32 when multiplied);
-        # ONE row gather per super fetches all 8 member cells
-        sup_c = jnp.minimum(sup_idx, n_sup)                # pad -> n_sup
-        cand = sup_c[:, :, None] * 8 + arange8[None, None, :]
-        cand = jnp.minimum(cand, g_cap).reshape(c_rows, -1)  # pad -> g_cap
-        f = cellf8[sup_c].reshape(c_rows, -1, 5)           # [C, K2, 5]
-        # cell-as-monopole test: distance to the cell's own COM (the
-        # reference's criterion, nbody_v5.cu:232), conservative over the
-        # target's members via its sub-spheres
-        csk = f[..., 4] + half
-        distc = jnp.sqrt(sub_gap(f[..., 0:3], f[..., 4]) ** 2 + soft)
-        failc = ((f[..., 3] + 2.0 * csk) / distc >= theta) & (cand < g_cap)
-        mc_raw = jnp.sum(failc.astype(_I32), axis=1)
-        mid_idx, _ = _row_compact_one(
-            jnp.where(failc, cand, big), big, mid_cap
+        # stage 1: the failing super-supers' member supers (live-gated)
+        key1 = gated_mac(ss_idx, ss_cnt, ss_cap, supf8, n_ss, sup_pad8,
+                         sl=16)
+        sup_idx, sup_cnt = _row_compact_one(key1, big, s_cap)
+
+        # stage 2: the failing supers' cells (live-gated).  Cell-as-
+        # monopole test: distance to the cell's own COM (the reference's
+        # criterion, nbody_v5.cu:232), conservative over the target's
+        # members via its sub-spheres.  cellf8 lacks a gmass lane (5
+        # fields), so pad it on the fly is avoided by reusing the 6-field
+        # contract: empty cells have diam 0 AND skin 0, but a uniform
+        # half > 0 could still list them — matching the historical dense
+        # semantics, stage 3's own gmass gate drops their children.
+        cellf6 = jnp.concatenate(
+            [cellf8, jnp.ones(cellf8.shape[:2] + (1,), jnp.float32)],
+            axis=-1,
         )
+        key2 = gated_mac(sup_idx, sup_cnt, s_cap, cellf6, n_sup, g_cap,
+                         sl=16)
+        mid_idx, mc_raw = _row_compact_one(key2, big, mid_cap)
 
         # stage 3: the failing cells' children, each tested on its own
         # monopole; failing children refine to grandchildren (cmid) if the
@@ -919,11 +1025,13 @@ def cell_band_lists(
         ni_safe = jnp.where(lane_n < nc_k[:, None], ni_safe, k_cap)
 
         return (
+            jnp.minimum(ss_idx, n_ss), jnp.minimum(ss_cnt, ss_cap),
             jnp.minimum(sup_idx, n_sup), jnp.minimum(sup_cnt, s_cap),
             jnp.minimum(mid_idx, g_cap), jnp.minimum(mc_raw, mid_cap),
             jnp.minimum(ci, k_cap), jnp.minimum(cc, cmid_cap),
             ni_safe, nc_k,
             wf, wm, win_cnt,
+            jnp.any(real & (ss_cnt > ss_cap)),
             jnp.any(real & (sup_cnt > s_cap)),
             jnp.any(real & (mc_raw > mid_cap)),
             jnp.any(real & (cc > cmid_cap)),
@@ -937,8 +1045,11 @@ def cell_band_lists(
          tskins.reshape(-1, chunk, SUB_FACTOR),
          row_real),
     )
-    si, sc, mi, mc, ci, cc, ni, nc, sf, scnt, spc, so, mo, co, no = res
+    (ssi, ssc, si, sc, mi, mc, ci, cc, ni, nc, sf, scnt, spc,
+     sso, so, mo, co, no) = res
     return CellBands(
+        ss_idx=ssi.reshape(t_pad, ss_cap)[:t],
+        ss_cnt=ssc.reshape(t_pad)[:t],
         sup_idx=si.reshape(t_pad, s_cap)[:t],
         sup_cnt=sc.reshape(t_pad)[:t],
         mid_idx=mi.reshape(t_pad, mid_cap)[:t],
@@ -950,6 +1061,7 @@ def cell_band_lists(
         win_first=sf.reshape(t_pad, cfg.win_cap_eff)[:t],
         win_mask=scnt.reshape(t_pad, 4, cfg.win_cap_eff)[:t],
         win_cnt=spc.reshape(t_pad)[:t],
+        ss_overflow=jnp.any(sso),
         sup_overflow=jnp.any(so),
         mid_overflow=jnp.any(mo),
         cmid_overflow=jnp.any(co),
@@ -983,20 +1095,24 @@ class TableSet(NamedTuple):
                          #   near_cnt and near_cap)
 
 
-def build_cell_tables(cells, supers: Supers, bands: CellBands) -> TableSet:
+def build_cell_tables(
+    cells, supers: Supers, ss: Supers, bands: CellBands
+) -> TableSet:
     """Per-target source tables (see TableSet).
 
     Row layout [x, y, z, G*mass]:
       * each NEAR child contributes its negated self — its exact P2P
         comes from the span kernel (first table region);
-      * each failing SUPER contributes a 9-row item: its 8 member-cell
-        monopoles plus the super monopole with negated mass (the far
+      * each failing SUPER-SUPER contributes a 9-row item: its 8 member-
+        super monopoles plus the SS monopole with negated mass (the far
         sweep added it);
+      * each failing SUPER: its 8 member-cell monopoles plus itself
+        negated (band D added the super monopole);
       * each failing CELL (mid): its 8 child monopoles plus itself
         negated (band A added the cell monopole);
       * each CMID child: its 8 grandchild monopoles plus itself negated
         (band B added the child monopole).
-    The three item classes are PACKED to the front of the item region
+    The four item classes are PACKED to the front of the item region
     (one row sort per target), so live rows are a prefix and the sweep
     kernel skips all-padding chunks.  Padding ids resolve to all-zero
     rows, so every band telescopes to net-zero mass beyond its
@@ -1005,8 +1121,19 @@ def build_cell_tables(cells, supers: Supers, bands: CellBands) -> TableSet:
     g_cap = cells.gmass.shape[0]
     k_cap = 8 * g_cap
     n_sup = supers.com.shape[0]
+    n_ss = ss.com.shape[0]
     t = bands.sup_idx.shape[0]
     big = jnp.iinfo(jnp.int32).max
+
+    sup4 = jnp.concatenate([supers.com, supers.gmass[:, None]], axis=1)
+    if 8 * n_ss != n_sup:
+        sup4 = jnp.pad(sup4, ((0, 8 * n_ss - n_sup), (0, 0)))
+    extD = jnp.concatenate(
+        [sup4.reshape(n_ss, 8, 4),
+         jnp.concatenate([ss.com, -ss.gmass[:, None]], axis=1)[:, None, :]],
+        axis=1,
+    ).reshape(n_ss, 36)
+    extD = jnp.concatenate([extD, jnp.zeros((1, 36), jnp.float32)])
 
     cell4 = jnp.concatenate([cells.com, cells.gmass[:, None]], axis=1)
     extA = jnp.concatenate(
@@ -1034,19 +1161,22 @@ def build_cell_tables(cells, supers: Supers, bands: CellBands) -> TableSet:
     extC = jnp.concatenate([gc4, anti_child[:, None, :]], axis=1).reshape(k_cap, 36)
     extC = jnp.concatenate([extC, jnp.zeros((1, 36), jnp.float32)])
 
-    # unified item table: [extA | extB | extC] with each class's zero pad
-    # row preserved; per-class ids offset into it
-    ext_all = jnp.concatenate([extA, extB, extC], axis=0)
-    off_b = n_sup + 1
+    # unified item table: [extD | extA | extB | extC] with each class's
+    # zero pad row preserved; per-class ids offset into it
+    ext_all = jnp.concatenate([extD, extA, extB, extC], axis=0)
+    off_a = n_ss + 1
+    off_b = off_a + n_sup + 1
     off_c = off_b + g_cap + 1
-    ia = jnp.minimum(bands.sup_idx, n_sup)            # pad -> extA zero row
+    idd = jnp.minimum(bands.ss_idx, n_ss)             # pad -> extD zero row
+    ia = jnp.minimum(bands.sup_idx, n_sup) + off_a    # pad -> extA zero row
     ib = jnp.minimum(bands.mid_idx, g_cap) + off_b    # pad -> extB zero row
     ic = jnp.minimum(bands.cmid_idx, k_cap) + off_c   # pad -> extC zero row
-    items = jnp.concatenate([ia, ib, ic], axis=1)     # [T, K]
+    items = jnp.concatenate([idd, ia, ib, ic], axis=1)  # [T, K]
+    vd = jnp.arange(idd.shape[1], dtype=_I32)[None, :] < bands.ss_cnt[:, None]
     va = jnp.arange(ia.shape[1], dtype=_I32)[None, :] < bands.sup_cnt[:, None]
     vb = jnp.arange(ib.shape[1], dtype=_I32)[None, :] < bands.mid_cnt[:, None]
     vc = jnp.arange(ic.shape[1], dtype=_I32)[None, :] < bands.cmid_cnt[:, None]
-    valid = jnp.concatenate([va, vb, vc], axis=1)
+    valid = jnp.concatenate([vd, va, vb, vc], axis=1)
     # pack live items first (stable: key = lane where valid, big where not;
     # invalid items already point at zero rows)
     key = jnp.where(valid, jnp.arange(items.shape[1], dtype=_I32)[None, :], big)
@@ -1064,7 +1194,8 @@ def build_cell_tables(cells, supers: Supers, bands: CellBands) -> TableSet:
     # padded [C, K, 36] transient is per-chunk, not per-T.
     k_items = items.shape[1]
     near_cap = bands.near_idx.shape[1]
-    n_items = (bands.sup_cnt + bands.mid_cnt + bands.cmid_cnt).astype(_I32)
+    n_items = (bands.ss_cnt + bands.sup_cnt + bands.mid_cnt
+               + bands.cmid_cnt).astype(_I32)
     ni_safe = jnp.minimum(bands.near_idx, k_cap)
     near_cnt = bands.near_cnt.astype(_I32)
 
@@ -1088,6 +1219,8 @@ def build_cell_tables(cells, supers: Supers, bands: CellBands) -> TableSet:
 
         def gated_gather(ids, table, cnt, sl):
             k = ids.shape[1]
+            if k == 0:   # degenerate cap (e.g. near_cap=0): nothing to fetch
+                return jnp.zeros((c_rows, 0, table.shape[1]), jnp.float32)
             sl = min(sl, k)   # small configs have fewer columns than a slice
             w = table.shape[1]
             out = jnp.zeros((c_rows, k, w), jnp.float32)
@@ -1120,7 +1253,8 @@ def build_cell_tables(cells, supers: Supers, bands: CellBands) -> TableSet:
          near_cnt_p.reshape(-1, tc)),
     )
     r_tot = near_cap + 9 * k_items
-    row_cnt = near_cap + 9 * (bands.sup_cnt + bands.mid_cnt + bands.cmid_cnt)
+    row_cnt = near_cap + 9 * (bands.ss_cnt + bands.sup_cnt + bands.mid_cnt
+                              + bands.cmid_cnt)
     return TableSet(tx=tx.reshape(t_pad, r_tot)[:t],
                     ty=ty.reshape(t_pad, r_tot)[:t],
                     tz=tz.reshape(t_pad, r_tot)[:t],
@@ -1237,10 +1371,14 @@ def build_bands(
     skin=0.0, drift: jax.Array | None = None,
 ):
     """The shared band-construction prologue of the production force path:
-    adaptive cells -> supers -> target sub-spheres -> band lists -> tables.
-    Single source of truth for bh_forces_grouped, the sharded step,
-    diagnostics, and the phase profiler.  Inputs must be Morton-sorted and
-    padded to a force_tile multiple (pad_sorted).
+    adaptive cells -> supers -> super-supers -> target sub-spheres ->
+    band lists -> tables.  Single source of truth for bh_forces_grouped,
+    the sharded step, diagnostics, and the phase profiler.  Inputs must
+    be Morton-sorted and padded to a force_tile multiple (pad_sorted).
+
+    Returns (cells, far, bands, tables) where `far` is the TOP-LEVEL
+    aggregate set the dense far sweep runs over (the super-supers) —
+    exactly what apply_farmid consumes.
 
     `skin` (uniform scalar) and `drift` (per-particle drift bounds [N],
     aggregated to per-cell/-child/-super/-target-sub-sphere maxima) widen
@@ -1259,10 +1397,11 @@ def build_bands(
         drift_sorted=drift, g2_factor=cfg.g2_cap_factor,
     )
     supers = make_supers(cells)
+    ss = make_supersupers(supers)
     tgt_subs = target_subspheres(pos_s, b, drift=drift, codes=codes_s)
-    bands = cell_band_lists(tgt_subs, supers, cells, cfg, skin=skin)
-    tables = build_cell_tables(cells, supers, bands)
-    return cells, supers, bands, tables
+    bands = cell_band_lists(tgt_subs, ss, supers, cells, cfg, skin=skin)
+    tables = build_cell_tables(cells, supers, ss, bands)
+    return cells, ss, bands, tables
 
 
 def bh_forces_grouped(

@@ -99,6 +99,7 @@ def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
         g2_factor=cfg.g2_cap_factor,
     )
     supers = forces.make_supers(cells)
+    ss = forces.make_supersupers(supers)
 
     start = me * m
     my_pos = jax.lax.dynamic_slice_in_dim(pos_s, start, m, 0)
@@ -109,14 +110,16 @@ def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
     my_codes = jax.lax.dynamic_slice_in_dim(codes_s, start, m, 0)
     tgt_subs = forces.target_subspheres(my_pos, b, drift=my_drift,
                                         codes=my_codes)
-    bands = forces.cell_band_lists(tgt_subs, supers, cells, cfg)
-    tables = forces.build_cell_tables(cells, supers, bands)
+    bands = forces.cell_band_lists(tgt_subs, ss, supers, cells, cfg)
+    tables = forces.build_cell_tables(cells, supers, ss, bands)
     # config-5 invariant: classification output is the LOCAL slab only
     assert bands.sup_idx.shape[0] == m // b, (
         "per-chip classification must cover exactly T/D target blocks"
     )
     assert tables.tx.shape[0] == m // b
-    return cells, supers, bands, tables, my_pos
+    # the far-sweep level (super-supers) rides in the `supers` slot —
+    # exactly what apply_farmid consumes (forces.build_bands contract)
+    return cells, ss, bands, tables, my_pos
 
 
 def _reslab(perm, arrs, h: int):
@@ -214,8 +217,9 @@ def _rebuild_sharded(pos, vel, mass, acc, orig, cfg: SimConfig, k: int,
         # bands are slab-local, so the overflow predicate is psum'd — a
         # REPLICATED scalar keeps every chip's envelope horizon and
         # rebuild countdown in lockstep
-        over_l = (bands.sup_overflow | bands.mid_overflow
-                  | bands.cmid_overflow | bands.near_overflow)
+        over_l = (bands.ss_overflow | bands.sup_overflow
+                  | bands.mid_overflow | bands.cmid_overflow
+                  | bands.near_overflow)
         over_g = jax.lax.psum(over_l.astype(jnp.int32), AXIS) > 0
         k_next = jnp.where(over_g, jnp.maximum(ke_i // 2, 1), k_next)
     start = me * m
@@ -425,27 +429,36 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
 
     out = jax.lax.while_loop(cond_fn, body, carry0)
     my_pos, my_vel, my_mass, my_acc, my_orig = out[6]
-    return my_pos, my_vel, my_mass, my_acc, my_orig
+    # rebuild count: a REPLICATED scalar (every chip runs the same
+    # schedule — the horizons come from gathered (|v|,|a|) and the
+    # overflow predicate is psum'd), broadcast per-slab so the P(AXIS)
+    # out_spec reassembles it losslessly; the wrapper reads element 0
+    n_rb = jnp.broadcast_to(out[3], (my_pos.shape[0],))
+    return my_pos, my_vel, my_mass, my_acc, my_orig, n_rb
 
 
-def _pad_and_run(cfg: SimConfig, mesh: Mesh, body_fn):
+def _pad_and_run(cfg: SimConfig, mesh: Mesh, body_fn, with_stats=False):
     """Shared wrapper: pad to a multiple of D * force_tile with massless
-    clones, run the shard_map body, scatter back to original order."""
+    clones, run the shard_map body, scatter back to original order.
+    `with_stats`: the body returns a sixth per-slab output (a replicated
+    scalar broadcast along rows — the rebuild count) that is returned to
+    the caller as a python-facing scalar array."""
     d = mesh.devices.size
     b = cfg.force_tile
     n = cfg.n
     n_pad = -(-n // (d * b)) * (d * b)
+    n_out = 6 if with_stats else 5
 
     body = shard_map(
         body_fn,
         mesh=mesh,
         in_specs=(P(AXIS),) * 5,
-        out_specs=(P(AXIS),) * 5,
+        out_specs=(P(AXIS),) * n_out,
         check_vma=False,
     )
 
     @jax.jit
-    def run(state: ParticleState) -> ParticleState:
+    def run(state: ParticleState):
         pad = n_pad - n
         orig = jnp.concatenate(
             [jnp.arange(n, dtype=jnp.int32), jnp.full((pad,), n, jnp.int32)]
@@ -458,14 +471,18 @@ def _pad_and_run(cfg: SimConfig, mesh: Mesh, body_fn):
         )
         mass = jnp.concatenate([state.mass, jnp.zeros((pad,), state.mass.dtype)])
         acc = jnp.concatenate([state.acc, jnp.zeros((pad, 3), state.acc.dtype)])
-        pos, vel, mass, acc, orig = body(pos, vel, mass, acc, orig)
+        out = body(pos, vel, mass, acc, orig)
+        pos, vel, mass, acc, orig = out[:5]
         # scatter back to original order (pad rows' orig == n: dropped)
-        return ParticleState(
+        result = ParticleState(
             pos=jnp.zeros((n, 3), pos.dtype).at[orig].set(pos),
             vel=jnp.zeros((n, 3), vel.dtype).at[orig].set(vel),
             mass=state.mass,
             acc=jnp.zeros((n, 3), acc.dtype).at[orig].set(acc),
         )
+        if with_stats:
+            return result, out[5][0]
+        return result
 
     return run
 
@@ -488,14 +505,22 @@ def make_sharded_runner(cfg: SimConfig, mesh: Mesh, n_cycles: int, k: int):
     )
 
 
-def make_sharded_adaptive_runner(cfg: SimConfig, mesh: Mesh, n_steps: int):
+def make_sharded_adaptive_runner(cfg: SimConfig, mesh: Mesh, n_steps: int,
+                                 return_stats: bool = False):
     """Jitted multi-chip ADAPTIVE band-reuse runner — the production
     config-5 path (sharded twin of make_adaptive_runner; the sharded_4m
-    preset routes here via run_sharded)."""
-    return _pad_and_run(
+    preset routes here via run_sharded).  With return_stats the runner
+    returns (state, n_rebuilds) — the rebuild count is replicated across
+    chips by construction (gathered-magnitude horizons + psum'd overflow
+    feedback) and equivalence-tested against the single-chip runner's."""
+    run = _pad_and_run(
         cfg, mesh,
         functools.partial(_sharded_adaptive_body, cfg=cfg, n_steps=n_steps),
+        with_stats=True,
     )
+    if return_stats:
+        return run
+    return lambda state: run(state)[0]
 
 
 def run_sharded(cfg: SimConfig, mesh: Mesh, state: ParticleState,

@@ -99,18 +99,20 @@ def bh_diagnostics(state: ParticleState, cfg: SimConfig) -> Dict[str, float]:
 
     cs, perm, lo, size = sort_by_morton(state.pos, cfg)
     ps, ms, csp = _forces.pad_sorted(state.pos[perm], state.mass[perm], cs, cfg.force_tile)
-    cells, supers, bands, _ = _forces.build_bands(ps, ms, csp, cfg)
+    cells, far, bands, _ = _forces.build_bands(ps, ms, csp, cfg)
     return {
         "n_cells": int(cells.n_cells),
-        "n_supers": int(supers.n_supers),
+        "n_supersupers": int(far.n_supers),
         "cell_capacity": int(cfg.cell_capacity),
         "cell_overflow": bool(cells.overflow),
         "g2_overflow": bool(cells.overflow_g2),
+        "ss_mean": float(jnp.mean(bands.ss_cnt)),
         "sup_mean": float(jnp.mean(bands.sup_cnt)),
         "mid_mean": float(jnp.mean(bands.mid_cnt)),
         "cmid_mean": float(jnp.mean(bands.cmid_cnt)),
         "near_mean": float(jnp.mean(bands.near_cnt)),
         "win_mean": float(jnp.mean(bands.win_cnt)),
+        "ss_overflow": bool(bands.ss_overflow),
         "sup_overflow": bool(bands.sup_overflow),
         "mid_overflow": bool(bands.mid_overflow),
         "cmid_overflow": bool(bands.cmid_overflow),

@@ -90,9 +90,11 @@ def _sorted_grouped(pos, mass, cfg):
 
 
 def _hierarchy(pos_s, mass_s, codes_s, cfg):
-    cells, supers, bands, _ = forces.build_bands(pos_s, mass_s, codes_s, cfg)
+    """(cells, far, tgt_subs, bands) where `far` is the far-sweep level
+    (super-supers — the build_bands contract)."""
+    cells, far, bands, _ = forces.build_bands(pos_s, mass_s, codes_s, cfg)
     tgt_subs = forces.target_subspheres(pos_s, cfg.force_tile, codes=codes_s)
-    return cells, supers, tgt_subs, bands
+    return cells, far, tgt_subs, bands
 
 
 def test_supers_aggregate_cells():
@@ -101,7 +103,8 @@ def test_supers_aggregate_cells():
                     sup_cap=64, mid_cap=512, near_cap=256)
     pos, mass = _cloud(n, seed=4)
     pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
-    cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
+    cells, _, _, _ = _hierarchy(pos_s, mass_s, codes_s, cfg)
+    supers = forces.make_supers(cells)
     gm = np.asarray(cells.gmass)
     sm = np.asarray(supers.gmass)
     np.testing.assert_allclose(sm, gm.reshape(-1, 8).sum(1), rtol=1e-5)
@@ -113,6 +116,44 @@ def test_supers_aggregate_cells():
     )[:, None]
     ok = sm > 0
     np.testing.assert_allclose(np.asarray(supers.com)[ok], want[ok], rtol=1e-3, atol=1e-2)
+
+
+def test_supersupers_aggregate_supers():
+    """Level-3 aggregates: gmass sums member supers, com is the mass-
+    weighted member mean, diam bounds every member bbox, skin is the
+    member max — the invariants the stage-0 MAC relies on."""
+    n = 4096
+    cfg = SimConfig(n=n, theta=0.5, force_tile=64, use_pallas=False)
+    pos, mass = _cloud(n, seed=7)
+    pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
+    cells, ssf, _, _ = _hierarchy(pos_s, mass_s, codes_s, cfg)
+    supers = forces.make_supers(cells)
+    ss = forces.make_supersupers(supers)
+    # the far level returned by build_bands IS the super-super level
+    np.testing.assert_array_equal(np.asarray(ssf.gmass), np.asarray(ss.gmass))
+    sm = np.asarray(supers.gmass)
+    gm = np.asarray(ss.gmass)
+    np.testing.assert_allclose(gm, sm.reshape(-1, 8).sum(1), rtol=1e-5)
+    np.testing.assert_allclose(gm.sum(), cfg.g * np.asarray(mass_s).sum(),
+                               rtol=1e-4)
+    com = np.asarray(supers.com).reshape(-1, 8, 3)
+    want = (com * sm.reshape(-1, 8)[..., None]).sum(1) / np.maximum(
+        sm.reshape(-1, 8).sum(1), 1e-20
+    )[:, None]
+    ok = gm > 0
+    np.testing.assert_allclose(np.asarray(ss.com)[ok], want[ok],
+                               rtol=1e-3, atol=1e-2)
+    # diam covers the union of member bboxes; skin is the member max
+    lo = np.asarray(supers.lo).reshape(-1, 8, 3)
+    hi = np.asarray(supers.hi).reshape(-1, 8, 3)
+    live = sm.reshape(-1, 8) > 0
+    for i in np.nonzero(ok)[0]:
+        ext = hi[i][live[i]].max(0) - lo[i][live[i]].min(0)
+        assert np.asarray(ss.diam)[i] >= ext.max() - 1e-4
+    np.testing.assert_allclose(
+        np.asarray(ss.skin),
+        np.asarray(supers.skin).reshape(-1, 8).max(1), rtol=1e-6)
+    assert int(ss.n_supers) == -(-int(supers.n_supers) // 8)
 
 
 @pytest.mark.parametrize("skin", [0.0, 25.0])
@@ -127,10 +168,12 @@ def test_cell_band_partition_against_numpy(skin):
                     sup_cap=64, mid_cap=512, cmid_cap=1024, near_cap=1024)
     pos, mass = _cloud(n, seed=5)
     pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
-    cells, supers, bands, _ = forces.build_bands(
+    cells, ss, bands, _ = forces.build_bands(
         pos_s, mass_s, codes_s, cfg, skin=skin
     )
+    supers = forces.make_supers(cells)
     tgt_subs = forces.target_subspheres(pos_s, cfg.force_tile, codes=codes_s)
+    assert not bool(bands.ss_overflow)
     assert not bool(bands.sup_overflow)
     assert not bool(bands.mid_overflow)
     assert not bool(bands.cmid_overflow)
@@ -143,8 +186,12 @@ def test_cell_band_partition_against_numpy(skin):
     soft = forces.soft_term(cfg)
     th = cfg.theta
 
+    ss_com = np.asarray(ss.com)
+    ss_diam = np.asarray(ss.diam)
+    ss_gm = np.asarray(ss.gmass)
     sup_com = np.asarray(supers.com)
     sup_diam = np.asarray(supers.diam)
+    sup_gm = np.asarray(supers.gmass)
     c_com = np.asarray(cells.com)
     c_diam = np.asarray(cells.diam)
     k_com = np.asarray(cells.child_com)        # [Gc, 8, 3]
@@ -161,6 +208,7 @@ def test_cell_band_partition_against_numpy(skin):
         gap = np.linalg.norm(coms[:, None, :] - tc[None, :, :], axis=-1) - tr[None, :]
         return np.maximum(np.maximum(gap.min(axis=1), 0.0) - skin, 0.0)
 
+    ssi, ssc = np.asarray(bands.ss_idx), np.asarray(bands.ss_cnt)
     si, sc = np.asarray(bands.sup_idx), np.asarray(bands.sup_cnt)
     mi, mc = np.asarray(bands.mid_idx), np.asarray(bands.mid_cnt)
     ci, cc = np.asarray(bands.cmid_idx), np.asarray(bands.cmid_cnt)
@@ -168,12 +216,22 @@ def test_cell_band_partition_against_numpy(skin):
     wf, wm = np.asarray(bands.win_first), np.asarray(bands.win_mask)
     wn = np.asarray(bands.win_cnt)
     for ti in range(t):
-        dist1 = np.sqrt(min_gap(sup_com, ctr[ti], rad[ti]) ** 2 + soft)
-        fail1 = (sup_diam + skin) / dist1 >= th
-        assert set(si[ti, : sc[ti]]) == set(np.nonzero(fail1)[0])
+        # stage 0: super-supers (only non-empty ones may be listed)
+        dist0 = np.sqrt(min_gap(ss_com, ctr[ti], rad[ti]) ** 2 + soft)
+        fail0 = ((ss_diam + skin) / dist0 >= th) & (ss_gm > 0)
+        assert set(ssi[ti, : ssc[ti]]) == set(np.nonzero(fail0)[0])
+        # stage 1: candidate supers of failing super-supers (non-empty)
+        cand_s = sorted(
+            s for H in np.nonzero(fail0)[0] for s in range(8 * H, 8 * H + 8)
+            if s < sup_com.shape[0] and sup_gm[s] > 0
+        )
+        dist1 = np.sqrt(min_gap(sup_com[cand_s], ctr[ti], rad[ti]) ** 2 + soft)
+        fail1 = (sup_diam[cand_s] + skin) / dist1 >= th
+        want_sup = {cand_s[k] for k in np.nonzero(fail1)[0]}
+        assert set(si[ti, : sc[ti]]) == want_sup
         # stage 2: candidate cells of failing supers
         cand = sorted(
-            c for H in np.nonzero(fail1)[0] for c in range(8 * H, 8 * H + 8)
+            c for H in sorted(want_sup) for c in range(8 * H, 8 * H + 8)
         )
         cand = [c for c in cand if c < g_cap]
         distc = np.sqrt(min_gap(c_com[cand], ctr[ti], rad[ti]) ** 2 + soft)
@@ -241,8 +299,9 @@ def test_cell_tables_telescoping():
                     sup_cap=64, mid_cap=512, cmid_cap=1024, near_cap=1024)
     pos, mass = _cloud(n, seed=5)
     pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
-    cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
-    tabset = forces.build_cell_tables(cells, supers, bands)
+    cells, ss, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
+    supers = forces.make_supers(cells)
+    tabset = forces.build_cell_tables(cells, supers, ss, bands)
     # reassemble [T, R, 4] from the planar planes for the checks
     tab = np.stack([np.asarray(tabset.tx), np.asarray(tabset.ty),
                     np.asarray(tabset.tz), np.asarray(tabset.tm)], axis=-1)
@@ -263,8 +322,8 @@ def test_cell_tables_telescoping():
         np.testing.assert_allclose(items.sum(axis=1), 0.0, atol=2e-2)
         # rows past row_cnt are identically zero (sweep-skip invariant)
         assert rc[ti] == n_cap + 9 * (
-            np.asarray(bands.sup_cnt)[ti] + np.asarray(bands.mid_cnt)[ti]
-            + np.asarray(bands.cmid_cnt)[ti]
+            np.asarray(bands.ss_cnt)[ti] + np.asarray(bands.sup_cnt)[ti]
+            + np.asarray(bands.mid_cnt)[ti] + np.asarray(bands.cmid_cnt)[ti]
         )
         assert np.all(tab[ti, rc[ti]:, :] == 0.0)
 
@@ -296,9 +355,9 @@ def test_band_sum_equals_full_decomposition():
                     sup_cap=64, mid_cap=512, cmid_cap=1024, near_cap=1024)
     pos, mass = _cloud(n, seed=6)
     pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
-    cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
-    tab = forces.build_cell_tables(cells, supers, bands)
-    far = np.asarray(forces.far_sweep_jnp(pos_s, supers, cfg))
+    cells, ss, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
+    tab = forces.build_cell_tables(cells, forces.make_supers(cells), ss, bands)
+    far = np.asarray(forces.far_sweep_jnp(pos_s, ss, cfg))
     mid = np.asarray(forces.table_sweep_jnp(pos_s, tab, cfg))
     corr = np.asarray(
         forces.near_correction_jnp(
@@ -315,15 +374,15 @@ def test_pallas_matches_jnp_far_mid_near():
                     sup_cap=64, mid_cap=512, cmid_cap=1024, near_cap=1024)
     pos, mass = _cloud(n, seed=6)
     pos_s, mass_s, codes_s = _sorted_grouped(pos, mass, cfg)
-    cells, supers, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
-    tab = forces.build_cell_tables(cells, supers, bands)
+    cells, ss, tgt_subs, bands = _hierarchy(pos_s, mass_s, codes_s, cfg)
+    tab = forces.build_cell_tables(cells, forces.make_supers(cells), ss, bands)
 
     from nbody_tpu.ops.pallas.forces import (
         far_sweep_pallas, table_sweep_pallas, near_span_pallas,
     )
 
-    f_jnp = forces.far_sweep_jnp(pos_s, supers, cfg)
-    f_pal = far_sweep_pallas(pos_s, supers, cfg)
+    f_jnp = forces.far_sweep_jnp(pos_s, ss, cfg)
+    f_pal = far_sweep_pallas(pos_s, ss, cfg)
     np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_jnp), rtol=2e-5, atol=2e-4)
 
     m_jnp = forces.table_sweep_jnp(pos_s, tab, cfg)
@@ -557,5 +616,5 @@ def test_grouped_forces_at_force_tile_512():
 def test_table_bytes_accounting():
     cfg = SimConfig(n=4_000_000, force_tile=512, sup_cap=384, mid_cap=512,
                     cmid_cap=768, near_cap=1536)
-    rows = 1536 + 9 * (384 + 512 + 768)
+    rows = 1536 + 9 * (cfg.ss_cap + 384 + 512 + 768)
     assert cfg.table_bytes == 4 * 4 * cfg.n_groups * rows

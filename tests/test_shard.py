@@ -123,6 +123,82 @@ def test_graft_entry_single_and_multi():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_adaptive_runner_matches_single_device(eight_devices, n_dev):
+    """The PRODUCTION config-5 runner (make_sharded_adaptive_runner) must
+    match make_adaptive_runner step for step: same trajectory AND the
+    same rebuild schedule.  The subtle replicated pieces this pins down:
+    the validity horizon (computed from gathered (|v|,|a|)), the
+    self-tuned envelope horizon k_env, and the psum'd overflow feedback —
+    a schedule divergence shows up as a rebuild-count mismatch even when
+    positions still agree within tolerance."""
+    from nbody_tpu.models.simulation import make_adaptive_runner
+    from nbody_tpu.parallel.shard import make_sharded_adaptive_runner
+
+    n_steps = 10
+    cfg = SimConfig(n=64 * n_dev * 4, theta=0.5, force_tile=64,
+                    use_pallas=False, ic_rng="jax", rebuild_every=4,
+                    adaptive_rebuild=True, hold_farmid=2)
+    state = disk_galaxy_jax(cfg.n, seed=5, g=cfg.g)
+
+    want, want_rb = jax.jit(
+        make_adaptive_runner(cfg, n_steps, return_stats=True)
+    )(state)
+
+    mesh = make_mesh(n_dev)
+    run = make_sharded_adaptive_runner(cfg, mesh, n_steps, return_stats=True)
+    got, got_rb = run(shard_state(state, mesh))
+    jax.block_until_ready(got)
+
+    assert int(got_rb) == int(want_rb), (
+        f"rebuild schedules diverged: sharded {int(got_rb)} vs "
+        f"single-chip {int(want_rb)}"
+    )
+    assert int(want_rb) >= 2, "test must exercise >= 2 rebuilds"
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_adaptive_overflow_feedback_matches(eight_devices):
+    """Overflow-triggered k_env halving: with band caps too small for the
+    skinned demand, the envelope feedback must fire IDENTICALLY on both
+    runners (the sharded one sees only slab-local bands and psums the
+    predicate), keeping the rebuild schedules in lockstep."""
+    from nbody_tpu.models.simulation import make_adaptive_runner
+    from nbody_tpu.parallel.shard import make_sharded_adaptive_runner
+
+    n_steps = 8
+    # near_cap=8 is far below demand at theta=0.3 (small theta = deep
+    # refinement = long near lists): the first rebuild overflows and
+    # halves k_env (graceful physics)
+    cfg = SimConfig(n=64 * 2 * 4, theta=0.3, force_tile=64,
+                    use_pallas=False, ic_rng="jax", rebuild_every=16,
+                    adaptive_rebuild=True, near_cap=8, cmid_cap=16,
+                    check_overflow=False)
+    state = disk_galaxy_jax(cfg.n, seed=6, g=cfg.g)
+
+    want, want_rb = jax.jit(
+        make_adaptive_runner(cfg, n_steps, return_stats=True)
+    )(state)
+    # sanity: the tiny caps really do overflow at this state
+    from nbody_tpu.utils import metrics
+    diag = metrics.bh_diagnostics(state, cfg)
+    assert diag["near_overflow"] or diag["cmid_overflow"], (
+        "test config must overflow a band cap to exercise the feedback"
+    )
+
+    mesh = make_mesh(2)
+    run = make_sharded_adaptive_runner(cfg, mesh, n_steps, return_stats=True)
+    got, got_rb = run(shard_state(state, mesh))
+    jax.block_until_ready(got)
+
+    assert int(got_rb) == int(want_rb)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_reslab_halo_fast_path_and_fallback(eight_devices):
     """The o(N)-rebuild-traffic mechanism (config-5): slab-resident rows
     are re-slabbed by a FIXED-SIZE neighbor halo exchange when the Morton

@@ -23,19 +23,22 @@ cells = f_cells(ps, ms, cs, drift)
 _sync(cells.gmass)
 f_sup = jax.jit(forces.make_supers)
 sup = f_sup(cells); _sync(sup.com)
+f_ss = jax.jit(forces.make_supersupers)
+ss = f_ss(sup); _sync(ss.com)
 f_subs = jax.jit(lambda p, d: forces.target_subspheres(p, cfg.force_tile, drift=d))
 subs = f_subs(ps, drift); _sync(subs.center)
-f_bands = jax.jit(lambda ts, s, ce: forces.cell_band_lists(ts, s, ce, cfg))
-bands = f_bands(subs, sup, cells); _sync(bands.sup_cnt)
-f_tab = jax.jit(lambda ce, s, b: forces.build_cell_tables(ce, s, b))
-tab = f_tab(cells, sup, bands); _sync(tab.tx)
+f_bands = jax.jit(lambda ts, s2, s, ce: forces.cell_band_lists(ts, s2, s, ce, cfg))
+bands = f_bands(subs, ss, sup, cells); _sync(bands.sup_cnt)
+f_tab = jax.jit(lambda ce, s, s2, b: forces.build_cell_tables(ce, s, s2, b))
+tab = f_tab(cells, sup, ss, bands); _sync(tab.tx)
 
 for name, fn, args in [
     ("cells", f_cells, (ps, ms, cs, drift)),
     ("supers", f_sup, (cells,)),
+    ("supersupers", f_ss, (sup,)),
     ("subspheres", f_subs, (ps, drift)),
-    ("band_lists", f_bands, (subs, sup, cells)),
-    ("tables", f_tab, (cells, sup, bands)),
+    ("band_lists", f_bands, (subs, ss, sup, cells)),
+    ("tables", f_tab, (cells, sup, ss, bands)),
 ]:
     t = time_fn(fn, *args, iters=6, warmup=1)
     print(f"{name:12s} {t['median_ms']:8.2f} ms (min {t['min_ms']:.2f})", flush=True)

@@ -75,23 +75,25 @@ cells = report(
     cs, ps, ms, drift,
 )
 supers = report("supers", forces.make_supers, cells)
+ss = report("supersupers", forces.make_supersupers, supers)
 tgt = report(
     "subspheres", lambda p, d, c: forces.target_subspheres(
         p, cfg.force_tile, drift=d, codes=c), ps, drift, cs
 )
 bands = report(
-    "classify", lambda t, s, c: forces.cell_band_lists(t, s, c, cfg),
-    tgt, supers, cells,
+    "classify", lambda t, s2, s, c: forces.cell_band_lists(t, s2, s, c, cfg),
+    tgt, ss, supers, cells,
 )
 tables = report(
-    "tables", lambda c, s, b: forces.build_cell_tables(c, s, b),
-    cells, supers, bands,
+    "tables", lambda c, s, s2, b: forces.build_cell_tables(c, s, s2, b),
+    cells, supers, ss, bands,
 )
 full = report(
     "FULL build_bands", lambda p, m, c, d: forces.build_bands(
         p, m, c, cfg, drift=d), ps, ms, cs, drift,
 )
-print(f"  bands: sup={float(jnp.mean(bands.sup_cnt)):.1f} "
+print(f"  bands: ss={float(jnp.mean(bands.ss_cnt)):.1f} "
+      f"sup={float(jnp.mean(bands.sup_cnt)):.1f} "
       f"mid={float(jnp.mean(bands.mid_cnt)):.1f} "
       f"cmid={float(jnp.mean(bands.cmid_cnt)):.1f} "
       f"near={float(jnp.mean(bands.near_cnt)):.1f} "

@@ -87,8 +87,9 @@ def apply_refresh(p_live, m, c, d, bd):
         c, p_live, m, cfg.force_tile, cfg.g, cfg.cell_capacity, lo, size,
         drift_sorted=d)
     supers_r = forces.make_supers(cells_r)
-    tables_r = forces.build_cell_tables(cells_r, supers_r, bd)
-    return forces.apply_bands(p_live, m, supers_r, bd, tables_r, cfg)
+    ss_r = forces.make_supersupers(supers_r)
+    tables_r = forces.build_cell_tables(cells_r, supers_r, ss_r, bd)
+    return forces.apply_bands(p_live, m, ss_r, bd, tables_r, cfg)
 
 def fresh_acc_fn(p_orig, m_orig):
     from nbody_tpu.models.simulation import compute_bh_acc
