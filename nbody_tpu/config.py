@@ -86,10 +86,17 @@ class SimConfig:
                                    # into SMEM per target: 2*near_cap
                                    # slots quadrupled that row DMA and
                                    # cost ~10 ms/step at 1M
-    cell_cap_factor: int = 4       # adaptive-cell capacity multiplier:
-                                   # capacity = factor * ceil(n/force_tile)
-                                   # (measured n_cells ~= 2.7 * n/force_tile
-                                   # at 1M, IC and hot states alike)
+    cell_cap_factor: int = 5       # adaptive-cell capacity multiplier:
+                                   # capacity = factor * ceil(n/force_tile).
+                                   # Measured n_cells at 1M: ~2.5x n/tile
+                                   # at the IC but FLUCTUATING 3.1-4.3x at
+                                   # the 1024-step contracted core
+                                   # (tools/_prof_crash1m.py r4: 17429 =
+                                   # 4.25x peak) — factor 4 tripped the
+                                   # cell overflow (MISSING mass, the one
+                                   # non-graceful overflow) at the hot
+                                   # state; 5 covers the peak with ~18%
+                                   # headroom
     g2_cap_factor: int = 4         # grandchild segment capacity as a
                                    # multiple of the child capacity
                                    # (structural max 8; measured demand
@@ -126,6 +133,15 @@ class SimConfig:
                                    # (r-RESPA force splitting); the exact
                                    # near band stays live every step.
                                    # Must divide rebuild_every; 1 = off
+    refresh_moments: bool = False  # at each far+mid refresh, RECOMPUTE
+                                   # all source moments from live
+                                   # positions at the frozen cut and
+                                   # regather the tables
+                                   # (forces.refresh_farmid) instead of
+                                   # reusing the rebuild-time monopoles —
+                                   # removes the dominant reuse staleness
+                                   # term for ~48 ms per refresh at 1M
+                                   # (adaptive runner only)
     check_overflow: bool = True    # one-time host probe on the first
                                    # Simulation.step: warn if the adaptive
                                    # cell cut overflows cell_capacity
@@ -138,6 +154,14 @@ class SimConfig:
                                    # C rand() on Windows) | "jax"
     # --- parallelism ---
     mesh_shape: Tuple[int, ...] = ()   # () = single device
+    near_halo_div: int = 8         # sharded near band: per-step halo =
+                                   # slab_rows / near_halo_div (span-
+                                   # aligned; parallel/shard._near_halo_rows)
+                                   # exchanged by ppermute instead of an
+                                   # O(N) live-position all_gather; a
+                                   # replicated per-cycle predicate falls
+                                   # back to the full gather when any
+                                   # frozen window reaches past the halo
     # --- render (nbody_v5.cu:35-36, 385-389, 470-473) ---
     render_width: int = 1280
     render_height: int = 720

@@ -328,7 +328,7 @@ def _adaptive_rebuild_fn(cfg: SimConfig):
 
     def rebuild(posf, velf, mass, accf, orig, k_env):
         pos = _v3(posf)
-        codes_s, perm, _, size = sort_by_morton(pos, cfg)
+        codes_s, perm, box_lo, size = sort_by_morton(pos, cfg)
         # ONE packed row-gather applies the Morton permutation to every
         # per-particle field: row gathers cost ~4.4 ns/row regardless of
         # width <= 128 (PERF.md) vs ~32 ns/particle for the five separate
@@ -374,8 +374,11 @@ def _adaptive_rebuild_fn(cfg: SimConfig):
             jnp.maximum(k_env // 2, 1),
             jnp.clip(2 * s_valid, 1, cfg.rebuild_every),
         )
+        # refresh context: what forces.refresh_farmid needs to recompute
+        # moments at this build's frozen cut (codes/skins/quantization box)
+        rctx = (codes_s, drift, box_lo, size)
         return (_flat(pos), _flat(vel), mass, _flat(acc), orig,
-                supers, bands, tables), (s_valid, k_next)
+                supers, bands, tables, rctx), (s_valid, k_next)
 
     return rebuild
 
@@ -406,29 +409,42 @@ def _adaptive_parts(cfg: SimConfig):
 
     def body(s):
         i, left, afm_age, n_rb, k_env, afmf = s[:6]
-        posf, velf, mass, accf, orig, supers, bands, tables = s[6:]
+        (posf, velf, mass, accf, orig, supers, bands, tables,
+         rctx) = s[6:]
 
         trig = left <= 0
-        (posf, velf, mass, accf, orig, supers, bands,
-         tables), (s_new, k_new) = jax.lax.cond(
+        (posf, velf, mass, accf, orig, supers, bands, tables,
+         rctx), (s_new, k_new) = jax.lax.cond(
             trig,
-            lambda c: rebuild(*c[:5], c[8]),
-            lambda c: (c[:8], (jnp.int32(0), c[8])),
-            (posf, velf, mass, accf, orig, supers, bands, tables, k_env),
+            lambda c: rebuild(*c[:5], c[9]),
+            lambda c: (c[:9], (jnp.int32(0), c[9])),
+            (posf, velf, mass, accf, orig, supers, bands, tables, rctx,
+             k_env),
         )
         left = jnp.where(trig, s_new, left)
         k_env = k_new
         pos = _v3(posf)
-        # refresh the held far+mid on rebuild or every R steps
+        # refresh the held far+mid on rebuild or every R steps; with
+        # cfg.refresh_moments an AGE refresh also recomputes every source
+        # moment from live positions at the frozen cut (a rebuild's own
+        # tables are already live-exact, so the trig branch keeps them)
         refresh = trig | (afm_age >= r)
-        afmf = jax.lax.cond(
-            refresh,
-            lambda args: _flat(
-                forces.apply_farmid(_v3(args[0]), args[1], args[2], cfg)
-            ),
-            lambda args: afmf,
-            (posf, supers, tables),
+        frozen_fm = lambda args: _flat(
+            forces.apply_farmid(_v3(args[0]), args[1], args[2], cfg)
         )
+        ops = (posf, supers, tables, mass) + rctx + (bands,)
+        if cfg.refresh_moments:
+            moments_fm = lambda a: _flat(forces.refresh_farmid(
+                _v3(a[0]), a[3], a[4], a[5], a[6], a[7], a[8], cfg,
+            ))
+            branch = jnp.where(
+                refresh, jnp.where(trig, 1, 2), 0
+            ).astype(jnp.int32)
+            afmf = jax.lax.switch(
+                branch, [lambda a: afmf, frozen_fm, moments_fm], ops
+            )
+        else:
+            afmf = jax.lax.cond(refresh, frozen_fm, lambda a: afmf, ops)
         afm_age = jnp.where(refresh, 1, afm_age + 1)
 
         a = _v3(afmf) + forces.apply_near(pos, pos, mass, bands, cfg)
@@ -437,7 +453,7 @@ def _adaptive_parts(cfg: SimConfig):
         )
         return ((i + 1, left - 1, afm_age, n_rb + trig.astype(jnp.int32),
                  k_env, afmf, _flat(st.pos), _flat(st.vel), mass,
-                 _flat(a), orig, supers, bands, tables))
+                 _flat(a), orig, supers, bands, tables, rctx))
 
     def extract(carry, n: int, mass0: jax.Array) -> ParticleState:
         posf, velf, mass, accf, orig = carry[6:11]
@@ -523,8 +539,8 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
 
         def outer_body(s):
             i, n_rb, k_env, posf, velf, mass, accf, orig = s
-            (posf, velf, mass, accf, orig, supers, bands,
-             tables), (s_valid, k_env) = rebuild_fn(
+            (posf, velf, mass, accf, orig, supers, bands, tables,
+             rctx), (s_valid, k_env) = rebuild_fn(
                 posf, velf, mass, accf, orig, k_env
             )
             t_seg = jnp.minimum(s_valid, n_steps - i)
@@ -540,12 +556,30 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
                 j, afm_age, afm, pos, vel, acc = c
                 pos3 = to3(pos)
                 refresh = (j == 0) | (afm_age >= r)
-                afm3 = jax.lax.cond(
-                    refresh,
-                    lambda p: forces.apply_farmid(p, supers, tables, cfg),
-                    lambda p: to3(afm),
-                    pos3,
-                )
+                if cfg.refresh_moments:
+                    # j == 0: the rebuild's own tables are live-exact;
+                    # later refreshes recompute moments at the frozen cut
+                    branch = jnp.where(
+                        refresh, jnp.where(j == 0, 1, 2), 0
+                    ).astype(jnp.int32)
+                    afm3 = jax.lax.switch(
+                        branch,
+                        [lambda p: to3(afm),
+                         lambda p: forces.apply_farmid(p, supers, tables,
+                                                       cfg),
+                         lambda p: forces.refresh_farmid(
+                             p, mass, rctx[0], rctx[1], rctx[2], rctx[3],
+                             bands, cfg)],
+                        pos3,
+                    )
+                else:
+                    afm3 = jax.lax.cond(
+                        refresh,
+                        lambda p: forces.apply_farmid(p, supers, tables,
+                                                      cfg),
+                        lambda p: to3(afm),
+                        pos3,
+                    )
                 afm_age = jnp.where(refresh, 1, afm_age + 1)
                 a = afm3 + forces.apply_near(pos3, pos3, mass, bands, cfg)
                 st = integ.integrate(

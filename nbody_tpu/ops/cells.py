@@ -179,7 +179,8 @@ def _block_cummax(x: jax.Array, w: int, reverse: bool) -> jax.Array:
     return lax.cummax(x.reshape(-1, w), axis=1, reverse=reverse).reshape(-1)
 
 
-def _sliding_cut_depth(lcp: jax.Array, b: int, max_depth: int) -> jax.Array:
+def _sliding_cut_depth(lcp: jax.Array, b: int, max_depth: int,
+                       x_off=None, n_total: int | None = None) -> jax.Array:
     """UNCLAMPED cut depth per particle from the adjacent-LCP array.
 
     cnt_d(i) > b  <=>  some window of b+1 consecutive sorted particles
@@ -193,6 +194,13 @@ def _sliding_cut_depth(lcp: jax.Array, b: int, max_depth: int) -> jax.Array:
     per-depth boundary matrix.  floor(L/3)+1 is cell-consistent even
     though L itself varies by +-2 within a cell (the predicate family
     {cnt_d > b} it encodes is shared by all members of a cell).
+
+    WINDOWED use (build_source_cells_window): when `lcp` covers a window
+    of a larger array, pass `x_off` (the global index of window element
+    0, traced ok) and `n_total` so W positions whose global window
+    [x, x+b) leaves [1, n_total - b + 1) are invalidated (-1) exactly as
+    the global computation's out-of-range padding does — otherwise
+    edge-pad rows fabricate deeper cuts at the array ends.
     """
     n = lcp.shape[0]
     if n <= b:
@@ -207,6 +215,9 @@ def _sliding_cut_depth(lcp: jax.Array, b: int, max_depth: int) -> jax.Array:
     pre = _block_cummin(lp, b, False)
     suf = _block_cummin(lp, b, True)
     w_min = jnp.minimum(suf[1:n - b + 1], pre[b:n])      # [n-b], W(x+1)
+    if n_total is not None:
+        xg = jnp.arange(1, n - b + 1, dtype=_I32) + jnp.asarray(x_off, _I32)
+        w_min = jnp.where((xg >= 1) & (xg <= n_total - b), w_min, -1)
     # M[s] = W(s+1) for s in [0, n-1-b]; L(i) = max over the width-(b+1)
     # window Mp[i .. i+b] where Mp[j] = M[j-b], out-of-range s -> -1
     wv = b + 1
@@ -272,6 +283,283 @@ def _cell_corner63(hi: jax.Array, lo32: jax.Array, depth: jax.Array,
     z = axis(0, 1, 11)   # Z: lo {0,3,..,30} -> i 0..10; hi {1,4,..,31} -> i 11..20
     lattice = size / jnp.float32(1 << MAX_DEPTH_63)
     return lo[None, :] + jnp.stack([x, y, z], axis=1) * lattice
+
+
+def last_bmax_boundary(codes_own: jax.Array, left_code: jax.Array,
+                       idx0) -> jax.Array:
+    """Global index of the LAST max-depth run boundary within the owned
+    rows [idx0, idx0 + len(codes_own)), or -1 if none.  `left_code` is
+    the global left neighbor of row idx0 (row idx0 - 1; pass codes_own's
+    own first row when idx0 == 0 — the first_b rule marks it anyway).
+    This is the one cut carry with unbounded reach (a single finest-cell
+    run can span shards); see build_source_cells_window."""
+    prev = jnp.concatenate([left_code[None], codes_own[:-1]], axis=0)
+    lcp = lcp_between(codes_own, prev)
+    m = codes_own.shape[0]
+    idx = jnp.arange(m, dtype=_I32) + idx0
+    max_d = max_depth_of(codes_own)
+    bmax = (idx == 0) | (lcp < 3 * max_d)
+    return jnp.max(jnp.where(bmax, idx, -1))
+
+
+def build_source_cells_window(
+    codes_sorted: jax.Array,
+    pos_sorted: jax.Array,
+    mass_sorted: jax.Array,
+    b: int,
+    g_const: float,
+    g_cap_shard: int,
+    start,
+    own: int,
+    n_total: int,
+    bmax_carry,
+    box_lo: jax.Array,
+    box_size: jax.Array,
+    drift_sorted: jax.Array | None = None,
+    g2_factor: int = 8,
+) -> SourceCells:
+    """OWNER-COMPUTES shard of the adaptive cut: the cells whose FIRST
+    particle lies in the owned range [start, start + own), built from a
+    fixed window of the (replicated or halo-exchanged) sorted arrays —
+    O(own) work per shard instead of the O(N) replicated build
+    (SURVEY.md §2.3 SP/CP, §7 step 8: per-shard top-tree summaries).
+
+    Exactness: the cut depth at row i depends only on the adjacent-LCP
+    array within i +- (b+1) rows (_sliding_cut_depth), so a 4b halo on
+    each side reproduces the global flags for every owned row; the ONE
+    carry with unbounded reach is the last max-depth run boundary
+    (`bmax_carry` from last_bmax_boundary, exchanged across shards —
+    inside a single finest-cell run the b-run splits are phase-locked to
+    that boundary).  Cell/child/grandchild SEGMENTS of owned cells end
+    at most b rows past the owned range, inside the right halo.  Moments
+    use window-local compensating prefix sums, so they can differ from
+    the global build's in final ulps (integer fields are exact) —
+    tests/test_cells.py pins the stitched equivalence.
+
+    Returns a SourceCells whose arrays are PER-SHARD (capacity
+    g_cap_shard; owned cells packed to a live prefix; n_cells = owned
+    count).  `first`/`child_first` are GLOBAL particle indices.  Shards
+    concatenated in order ARE the global cell list (cells are disjoint
+    runs ordered by first particle); parallel/shard.py gathers and
+    compacts them.
+    """
+    n_win = codes_sorted.shape[0]
+    lead = (n_win - own) // 2
+    idx = jnp.arange(n_win, dtype=_I32) + (start - lead)   # GLOBAL rows
+    c_cap = 8 * g_cap_shard
+    max_d = max_depth_of(codes_sorted)
+
+    lcp = adjacent_lcp(codes_sorted)
+    cut_depth = _sliding_cut_depth(lcp, b, max_d,
+                                   x_off=start - lead, n_total=n_total)
+    at_max = cut_depth >= max_d
+
+    first_b = idx == 0
+    grp_b = first_b | (lcp < 3 * jnp.minimum(cut_depth, max_d))
+    bmax = first_b | (lcp < 3 * max_d)
+    st_max = jnp.maximum(lax.cummax(jnp.where(bmax, idx, -1)),
+                         jnp.asarray(bmax_carry, _I32))
+    grp_b = grp_b | (at_max & ((idx - st_max) % b == 0))
+
+    chd_b = grp_b | (lcp < 3 * jnp.minimum(cut_depth + 1, max_d))
+    sub = max(b // 8, 1)
+    grp_start = lax.cummax(jnp.where(grp_b, idx, -1))
+    chd_b = chd_b | (at_max & ((idx - grp_start) % sub == 0))
+
+    g2_b = chd_b | (lcp < 3 * jnp.minimum(cut_depth + 2, max_d))
+    sub2 = max(b // 64, 1)
+    chd_start = lax.cummax(jnp.where(chd_b, idx, -1))
+    g2_b = g2_b | (at_max & ((idx - chd_start) % sub2 == 0))
+
+    # ownership: a segment belongs to this shard iff its CELL starts in
+    # the owned range (children/grandchildren follow their cell, so the
+    # last owned cell's segments — which may START in the right halo —
+    # stay with it)
+    owner = (grp_start >= start) & (grp_start < start + own)
+    own_grp = grp_b & owner
+    own_chd = chd_b & owner
+    own_g2 = g2_b & owner
+
+    n_cells = jnp.sum(own_grp.astype(_I32))
+    n_child = jnp.sum(own_chd.astype(_I32))
+    n_g2 = jnp.sum(own_g2.astype(_I32))
+    c2_cap = min(g2_factor, 8) * c_cap
+    overflow = (n_cells > g_cap_shard) | (n_child > c_cap)
+    overflow_g2 = n_g2 > c2_cap
+
+    big = jnp.iinfo(jnp.int32).max
+
+    # next same-level boundary AFTER each row (global index; reverse
+    # exclusive min) — segment counts never reference the (unowned) next
+    # shard's compacted lists
+    def next_boundary(flags):
+        nxt = lax.cummin(jnp.where(flags, idx, big), reverse=True)
+        return jnp.concatenate([nxt[1:], jnp.full((1,), big, _I32)])
+
+    nxt_grp = next_boundary(grp_b)
+    nxt_chd = next_boundary(chd_b)
+    nxt_g2 = next_boundary(g2_b)
+    # the last owned cell may END past the window's right edge only if a
+    # boundary is missing inside the halo — impossible for halo >= b
+    # (cells hold <= b particles); clamp to the window end AND to the
+    # true global row count (right-edge pads are edge-replicated codes
+    # with no boundary, so the LAST shard's final cell would otherwise
+    # swallow them)
+    end_win = jnp.minimum(start - lead + n_win, n_total)
+
+    def compact(flags, nxt, cap):
+        key = jnp.where(flags, idx, big)
+        skey = lax.sort(key)
+        if cap <= n_win:
+            firsts = skey[:cap]
+        else:
+            firsts = jnp.concatenate(
+                [skey, jnp.full((cap - n_win,), big, _I32)]
+            )
+        live = firsts < big
+        rel = jnp.clip(firsts - (start - lead), 0, n_win - 1)
+        ends = jnp.minimum(nxt[rel], end_win)
+        count = jnp.where(live, ends - firsts, 0)
+        return jnp.where(live, firsts, 0), count, rel
+
+    g_first, g_count, g_rel = compact(own_grp, nxt_grp, g_cap_shard)
+    c_first, c_count, c_rel = compact(own_chd, nxt_chd, c_cap)
+    c2_first, c2_count, c2_rel = compact(own_g2, nxt_g2, c2_cap)
+
+    # --- per-segment reductions over the WINDOW (prefix differences) ---
+    pmw = _cumsum_prefix(
+        jnp.concatenate(
+            [mass_sorted[:, None], pos_sorted * mass_sorted[:, None]],
+            axis=1,
+        )
+    )
+
+    big_f = jnp.float32(3.0e38)
+
+    def seg_moments(rel, count):
+        valid = count > 0
+        d = pmw[jnp.clip(rel + count, 0, n_win)] - pmw[rel]
+        m = d[:, 0]
+        com = jnp.where(
+            valid[:, None], d[:, 1:4] / jnp.maximum(m, 1e-20)[:, None], 0.0
+        )
+        return com, g_const * m * valid, valid
+
+    def analytic_stats(rel, count, depth):
+        valid = count > 0
+        width = jnp.where(
+            valid,
+            box_size * jnp.exp2(-jnp.minimum(depth, max_d).astype(jnp.float32)),
+            0.0,
+        )
+        corner = cell_corner(codes_sorted[rel], depth, box_lo, box_size)
+        lo = jnp.where(valid[:, None], corner, big_f)
+        hi = jnp.where(valid[:, None], corner + width[:, None], -big_f)
+        return width, lo, hi
+
+    g_com, g_gm, _ = seg_moments(g_rel, g_count)
+    c_com, c_gm, _ = seg_moments(c_rel, c_count)
+    c2_com, c2_gm, _ = seg_moments(c2_rel, c2_count)
+
+    if drift_sorted is not None:
+        mxd_g = _seg_scan_max(drift_sorted, grp_b)
+        mxd_c = _seg_scan_max(drift_sorted, chd_b)
+
+        def seg_skin(rel, count, mx):
+            valid = count > 0
+            lastp = jnp.clip(rel + count - 1, 0, n_win - 1)
+            return jnp.where(valid, mx[lastp], 0.0)
+
+        g_skin = seg_skin(g_rel, g_count, mxd_g)
+        c_skin = seg_skin(c_rel, c_count, mxd_c)
+    else:
+        g_skin = jnp.zeros((g_cap_shard,), jnp.float32)
+        c_skin = jnp.zeros((c_cap,), jnp.float32)
+
+    g_depth = cut_depth[g_rel]
+    g_diam, g_lo, g_hi = analytic_stats(g_rel, g_count, g_depth)
+    c_depth = jnp.minimum(cut_depth[c_rel] + 1, max_d)
+    c_diam, _, _ = analytic_stats(c_rel, c_count, c_depth)
+    c2_depth = jnp.minimum(cut_depth[c2_rel] + 2, max_d)
+    c2_diam, _, _ = analytic_stats(c2_rel, c2_count, c2_depth)
+
+    # --- regroup kids under parents (same construction as the global
+    # build, over the PER-SHARD compacted ids: owned kids are exactly the
+    # owned parents' kids, contiguous in the same order) ---
+    chd_id = jnp.cumsum(own_chd.astype(_I32)) - 1   # per-shard kid ids
+    g2_id = jnp.cumsum(own_g2.astype(_I32)) - 1
+
+    def regroup(parent_count, parent_rel, kid_id, kid_cap, n_kid_total):
+        valid = parent_count > 0
+        base = jnp.where(valid, kid_id[parent_rel], n_kid_total)
+        nxt = jnp.concatenate([base[1:], jnp.full((1,), 0, _I32)])
+        nxt = jnp.where(
+            jnp.concatenate([valid[1:], jnp.zeros((1,), bool)]),
+            nxt, n_kid_total,
+        )
+        n_kids = jnp.clip(jnp.where(valid, nxt - base, 0), 0, 8)
+        raw = base[:, None] + jnp.arange(8, dtype=_I32)[None, :]
+        ok = (jnp.arange(8, dtype=_I32)[None, :] < n_kids[:, None]) & (
+            raw < kid_cap
+        )
+        slot = jnp.clip(raw, 0, kid_cap - 1)
+        complete = valid & (base + n_kids <= kid_cap)
+        return slot, ok, complete
+
+    valid_g = g_count > 0
+    slot_c, kid_ok, _ = regroup(g_count, g_rel, chd_id, c_cap, n_child)
+    childf = jnp.concatenate(
+        [c_com, c_gm[:, None], c_diam[:, None], c_skin[:, None],
+         lax.bitcast_convert_type(c_first, jnp.float32)[:, None],
+         lax.bitcast_convert_type(c_count, jnp.float32)[:, None]], axis=1,
+    )
+    cg = jnp.where(kid_ok[..., None], childf[slot_c], 0.0)
+    child_com = cg[..., 0:3]
+    child_gm = cg[..., 3]
+    child_diam = cg[..., 4]
+    child_skin = cg[..., 5]
+    child_first = lax.bitcast_convert_type(cg[..., 6], _I32)
+    child_count = lax.bitcast_convert_type(cg[..., 7], _I32)
+
+    slot_2, ok_2, complete_2 = regroup(c_count, c_rel, g2_id, c2_cap, n_g2)
+    g2f = jnp.concatenate(
+        [c2_com, c2_gm[:, None], c2_diam[:, None]], axis=1
+    )
+    g2g = jnp.where(ok_2[..., None], g2f[slot_2], 0.0)
+    gc_com_f = g2g[..., 0:3]
+    gc_gm_f = g2g[..., 3]
+    gdm_f = jnp.max(g2g[..., 4], axis=1)
+    gchild_com = jnp.where(kid_ok[..., None, None], gc_com_f[slot_c], 0.0)
+    gchild_gm = jnp.where(kid_ok[..., None], gc_gm_f[slot_c], 0.0)
+    gchild_dm = jnp.where(kid_ok, gdm_f[slot_c], 0.0)
+    gchild_complete = kid_ok & complete_2[slot_c]
+
+    return SourceCells(
+        first=jnp.where(valid_g, g_first, 0),
+        count=g_count,
+        com=g_com,
+        gmass=g_gm,
+        diam=g_diam,
+        lo=g_lo,
+        hi=g_hi,
+        child_com=child_com,
+        child_gmass=child_gm,
+        child_diam=child_diam,
+        child_diam_max=jnp.max(child_diam, axis=1),
+        child_first=child_first,
+        child_count=child_count,
+        gchild_com=gchild_com,
+        gchild_gmass=gchild_gm,
+        gchild_diam_max=gchild_dm,
+        gchild_complete=gchild_complete,
+        skin=jnp.where(valid_g, g_skin, 0.0),
+        child_skin=child_skin,
+        n_cells=n_cells,
+        n_child=n_child,
+        n_g2=n_g2,
+        overflow=overflow,
+        overflow_g2=overflow_g2,
+    )
 
 
 def build_source_cells(

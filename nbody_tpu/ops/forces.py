@@ -1404,6 +1404,42 @@ def build_bands(
     return cells, ss, bands, tables
 
 
+def refresh_farmid(
+    pos_live: jax.Array, mass_s: jax.Array, codes_s: jax.Array,
+    drift, box_lo, box_size, bands: CellBands, cfg: SimConfig,
+) -> jax.Array:
+    """MONOPOLE-REFRESHED far+mid evaluation at a FROZEN cut.
+
+    Recomputes every source moment (cell/child/grandchild/super/super-
+    super COMs) from LIVE positions over the frozen Morton cut (frozen
+    codes => same segments; the particle order is frozen within a reuse
+    cycle), regathers the band tables against the frozen classification,
+    and evaluates the smooth far+mid component.  This removes the
+    dominant band-reuse staleness term — frozen mid-band monopoles rotate
+    ~1.3 rad per long cycle (PERF.md round-2 error decomposition;
+    tools/_prof_stale.py measures the flattened staleness curves) — at
+    the cost of one cells+tables rebuild per refresh (~48 ms at 1M vs
+    ~150 ms for a full rebuild with sort + classification).
+
+    What stays frozen and why it is safe: the cut and the analytic cell
+    geometry (corner/width) come from the frozen codes, so `diam` no
+    longer bounds live member positions exactly — the same per-entity
+    skin margins that keep the frozen CLASSIFICATION conservative cover
+    exactly this drift (cell_band_lists docstring); the near band is
+    live on both sides and untouched."""
+    from nbody_tpu.ops.cells import build_source_cells
+
+    cells_r = build_source_cells(
+        codes_s, pos_live, mass_s, cfg.force_tile, cfg.g,
+        cfg.cell_capacity, box_lo, box_size, drift_sorted=drift,
+        g2_factor=cfg.g2_cap_factor,
+    )
+    supers_r = make_supers(cells_r)
+    ss_r = make_supersupers(supers_r)
+    tables_r = build_cell_tables(cells_r, supers_r, ss_r, bands)
+    return apply_farmid(pos_live, ss_r, tables_r, cfg)
+
+
 def bh_forces_grouped(
     pos_s: jax.Array, mass_s: jax.Array, codes_s: jax.Array, cfg: SimConfig
 ) -> jax.Array:

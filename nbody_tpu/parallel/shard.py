@@ -25,10 +25,13 @@ Decomposition (the "config-5" design, SURVEY.md §2.3 row SP/CP):
   * CLASSIFICATION (band lists + tables — the dominant build cost) runs
     ONLY for the chip's own T/D target blocks: per-chip band shapes are
     statically T/D (asserted at trace time below);
-  * per STEP, the only communication is one all_gather of LIVE positions
-    (12 B/particle over ICI — ~0.5 ms at 4M on a v5e-8) so the exact
-    near-band P2P sees current sources; the far/mid sweeps read the
-    frozen replicated monopoles (KBs) and the chip's own tables;
+  * per STEP, the only communication is a FIXED 2h-row live-position
+    ppermute halo (h = slab/near_halo_div — near windows are Morton-
+    local to each slab) feeding the exact near-band P2P, with a
+    replicated per-cycle reach predicate falling back to a full
+    all_gather when any frozen window points past the halo; the far/mid
+    sweeps read the frozen replicated monopoles (KBs) and the chip's own
+    tables;
   * integration is slab-local.
 
 Per-chip per-step compute is therefore ~1/D of the sweep work; the
@@ -122,6 +125,47 @@ def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
     return cells, ss, bands, tables, my_pos
 
 
+def _near_halo_rows(m: int, cfg: SimConfig) -> int:
+    """Static halo width (rows) for the per-step near-band exchange:
+    m // cfg.near_halo_div, at least one span, rounded UP to a span
+    multiple so rebased window starts stay 128-aligned (the Pallas near
+    kernel's HBM DMA alignment invariant), capped at the slab size."""
+    h = max(forces.SPAN_ALIGN, m // max(1, cfg.near_halo_div))
+    h = -(-h // forces.SPAN_ALIGN) * forces.SPAN_ALIGN
+    return min(h, m)
+
+
+def _halo_ext(x, h: int):
+    """[m, ...] slab rows -> [m + 2h, ...] extended with the left
+    neighbor's last h rows and the right neighbor's first h rows (one
+    fixed-size ppermute pair).  Ring wrap-around rows at the global ends
+    are garbage by construction but are never addressed: global row i
+    maps to ext row i - (me*m - h), and chip 0's windows have i >= 0
+    (ext rows >= h) while the last chip's end at i < N (ext rows
+    <= m + h)."""
+    d = jax.lax.axis_size(AXIS)
+    fwd = [(i, (i + 1) % d) for i in range(d)]
+    bwd = [(i, (i - 1) % d) for i in range(d)]
+    left = jax.lax.ppermute(x[x.shape[0] - h:], AXIS, fwd)
+    right = jax.lax.ppermute(x[:h], AXIS, bwd)
+    return jnp.concatenate([left, x, right], axis=0)
+
+
+def _near_reach_ok(bands, m, h: int):
+    """Replicated predicate: every chip's live near windows lie inside
+    its [me*m - h, (me+1)*m + h) halo extent, so the per-step near band
+    can run on the fixed-traffic ppermute path.  Frozen per cycle (the
+    windows are part of the frozen band structure); the full-gather
+    fallback keeps correctness independent of the halo size."""
+    me = jax.lax.axis_index(AXIS)
+    lane = jnp.arange(bands.win_first.shape[1], dtype=jnp.int32)[None, :]
+    live = lane < bands.win_cnt[:, None]
+    wf = bands.win_first
+    ok = (wf >= me * m - h) & (wf + forces.SPAN_ALIGN <= (me + 1) * m + h)
+    n_out = jnp.sum((live & ~ok).astype(jnp.int32))
+    return jax.lax.psum(n_out, AXIS) == 0
+
+
 def _reslab(perm, arrs, h: int):
     """Re-slab the slab-resident `arrs` (each [m, ...] rows of the OLD
     global sorted order) into the NEW order: returns rows
@@ -168,11 +212,12 @@ def _rebuild_sharded(pos, vel, mass, acc, orig, cfg: SimConfig, k: int,
                      adaptive: bool, k_env=None):
     """One sharded band rebuild.  Inputs are slab rows of the current
     global sorted order; returns the re-slabbed state (new sorted order),
-    the frozen band structures for MY slab, the replicated global sorted
-    (pos, mass) the near band and later rebuilds need, and the
-    (validity horizon, next envelope horizon) pair (adaptive; `k_env`
-    sizes this rebuild's skins — the single-chip runner's self-tuned
-    envelope, models/simulation.make_adaptive_runner) or (k, k).
+    the frozen band structures for MY slab, the per-cycle near-exchange
+    context (replicated sorted masses for the fallback, the fixed-width
+    mass halo, the reach predicate), and the (validity horizon, next
+    envelope horizon) pair (adaptive; `k_env` sizes this rebuild's skins
+    — the single-chip runner's self-tuned envelope,
+    models/simulation.make_adaptive_runner) or (k, k).
 
     Wire traffic: all_gather of pos (12 B/particle), mass (4 B) and
     (|v|, |a|) (8 B) — never the full 64 B/particle state — plus the
@@ -224,10 +269,16 @@ def _rebuild_sharded(pos, vel, mass, acc, orig, cfg: SimConfig, k: int,
         k_next = jnp.where(over_g, jnp.maximum(ke_i // 2, 1), k_next)
     start = me * m
     my_mass = jax.lax.dynamic_slice_in_dim(mass_s, start, m, 0)
+    # per-step near-band exchange context (frozen for the cycle): the
+    # fixed-width mass halo + the replicated reach predicate selecting
+    # the ppermute fast path over the O(N) live-position all_gather
+    h_near = _near_halo_rows(m, cfg)
+    mass_ext = _halo_ext(my_mass, h_near)
+    near_fast = _near_reach_ok(bands, m, h_near)
     return (
         (my_pos, my_vel, my_mass, my_acc, my_orig),
         (supers, bands, tables),
-        (pos_s, mass_s),
+        (mass_s, mass_ext, near_fast),
         (s_valid, k_next),
     )
 
@@ -306,11 +357,29 @@ def _farmid_slab(p_mid, supers, tables, cfg):
     return forces.apply_farmid(p_mid, supers, tables, cfg)
 
 
-def _near_step(p, v_, my_mass, mass_s, bands, afm, cfg):
+def _near_step(p, v_, my_mass, glob, bands, afm, cfg):
     """One integration step: slab-local far+mid (held, `afm`) + live
-    near band (one live-position all_gather — the only per-step comm)."""
-    p_live = _gather(p)
-    a_ = afm + forces.apply_near(p, p_live, mass_s, bands, cfg)
+    near band.  Per-step communication is a FIXED 2h-row position
+    ppermute (near windows are Morton-local to the slab) when the
+    cycle's reach predicate holds — O(N/near_halo_div), not O(N) — with
+    the live-position all_gather as the replicated fallback."""
+    mass_s, mass_ext, near_fast = glob
+    m = p.shape[0]
+    h = _near_halo_rows(m, cfg)
+    me = jax.lax.axis_index(AXIS)
+    base = me * m - h
+
+    def fast(p):
+        p_ext = _halo_ext(p, h)
+        bands_l = bands._replace(
+            win_first=jnp.maximum(bands.win_first - base, 0)
+        )
+        return forces.apply_near(p, p_ext, mass_ext, bands_l, cfg)
+
+    def slow(p):
+        return forces.apply_near(p, _gather(p), mass_s, bands, cfg)
+
+    a_ = afm + jax.lax.cond(near_fast, fast, slow, p)
     st = integ.integrate(
         ParticleState(pos=p, vel=v_, mass=my_mass, acc=a_), a_, cfg
     )
@@ -330,7 +399,7 @@ def _sharded_cycles_body(pos, vel, mass, acc, orig, cfg: SimConfig,
 
     def cycle(carry, _):
         pos, vel, mass, acc, orig = carry
-        (slab, (supers, bands, tables), (pos_s, mass_s), _sk) = (
+        (slab, (supers, bands, tables), glob, _sk) = (
             _rebuild_sharded(pos, vel, mass, acc, orig, cfg, k,
                              adaptive=False)
         )
@@ -353,7 +422,7 @@ def _sharded_cycles_body(pos, vel, mass, acc, orig, cfg: SimConfig,
 
             def inner(c3, _):
                 p, v_, _ = c3
-                return _near_step(p, v_, my_mass, mass_s, bands, afm, cfg), None
+                return _near_step(p, v_, my_mass, glob, bands, afm, cfg), None
 
             return jax.lax.scan(inner, (p0, v0, a0), None, length=r)
 
@@ -409,7 +478,6 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
 
         my_pos, my_vel, my_mass, my_acc, my_orig = slab
         supers, bands, tables = frozen
-        pos_s, mass_s = glob
 
         refresh = trig | (afm_age >= r)
         afm = jax.lax.cond(
@@ -421,7 +489,7 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
         afm_age = jnp.where(refresh, 1, afm_age + 1)
 
         p2, v2, a2 = _near_step(
-            my_pos, my_vel, my_mass, mass_s, bands, afm, cfg
+            my_pos, my_vel, my_mass, glob, bands, afm, cfg
         )
         slab = (p2, v2, my_mass, a2, my_orig)
         return (i + 1, left - 1, afm_age, n_rb + trig.astype(jnp.int32),

@@ -279,3 +279,136 @@ def test_analytic_cell_geometry_63():
         assert np.all(psn[sl].min(0) >= clo[g] - eps)
         assert np.all(psn[sl].max(0) <= chi[g] + eps)
         assert (psn[sl].max(0) - psn[sl].min(0)).max() <= diam[g] + eps
+
+
+@pytest.mark.parametrize("bits,n,b,d,clustered", [
+    (63, 4096, 64, 4, False),
+    (63, 4096, 64, 8, True),      # clustered: exercises at_max b-runs
+    (30, 2048, 32, 4, True),      # 30-bit floor saturates fast
+    (63, 4096 + 192, 64, 4, False),  # n not a multiple of d*b pre-pad
+])
+def test_windowed_build_stitches_to_global(bits, n, b, d, clustered):
+    """OWNER-COMPUTES shards (build_source_cells_window over slab + 4b
+    halo windows, with the cross-shard bmax carry) concatenated in shard
+    order must reproduce the GLOBAL build exactly: every integer field
+    (cut structure, segment starts/counts, child/grandchild slots,
+    completeness) bit-equal; moments allclose (window-local prefix sums
+    differ from the global prefix in final ulps)."""
+    import jax
+    from nbody_tpu.ops.cells import (
+        build_source_cells_window, last_bmax_boundary,
+    )
+    from nbody_tpu.ops import forces
+
+    rng = np.random.default_rng(bits + n + d)
+    if clustered:
+        c = rng.uniform(-500, 500, (3, 3))
+        pos = (c[rng.integers(0, 3, n)]
+               + rng.normal(0, 1e-4, (n, 3))).astype(np.float32)
+    else:
+        pos = rng.uniform(-1000, 1000, (n, 3)).astype(np.float32)
+    mass = rng.uniform(1, 5, n).astype(np.float32)
+    lo, size = bbox.bounding_cube(jnp.asarray(pos))
+    if bits == 63:
+        hi_, lo32 = morton.encode63(jnp.asarray(pos), lo, size)
+        shi, slo, perm = morton.morton_sort_63(hi_, lo32)
+        sc = jnp.stack([shi, slo], axis=1)
+    else:
+        codes = morton.encode30(jnp.asarray(pos), lo, size)
+        sc, perm = morton.morton_sort_30(codes)
+    ps, ms = jnp.asarray(pos)[perm], jnp.asarray(mass)[perm]
+    drift = jnp.asarray(rng.uniform(0, 2, n).astype(np.float32))[perm]
+    # pad to a d*b multiple like the runners do (massless clones)
+    n_pad = -(-n // (d * b)) * (d * b)
+    pad = n_pad - n
+    if pad:
+        sc = jnp.concatenate([sc, jnp.broadcast_to(sc[-1], (pad,) + sc.shape[1:])])
+        ps = jnp.concatenate([ps, jnp.broadcast_to(ps[-1], (pad, 3))])
+        ms = jnp.concatenate([ms, jnp.zeros((pad,), ms.dtype)])
+        drift = jnp.concatenate([drift, jnp.zeros((pad,), drift.dtype)])
+
+    g_cap = max(64, 8 * n_pad // b)
+    want = build_source_cells(sc, ps, ms, b, 0.5, g_cap, lo, size,
+                              drift_sorted=drift, g2_factor=4)
+
+    m = n_pad // d
+    halo = 4 * b
+    gs = g_cap  # per-shard cap: generous for the oracle
+
+    def edge_pad(x):
+        left = jnp.broadcast_to(x[:1], (halo,) + x.shape[1:])
+        right = jnp.broadcast_to(x[-1:], (halo,) + x.shape[1:])
+        return jnp.concatenate([left, x, right])
+
+    scp, psp, msp, dfp = edge_pad(sc), edge_pad(ps), edge_pad(ms), edge_pad(drift)
+
+    # cross-shard bmax carries (exclusive prefix max of per-shard lasts)
+    lasts = []
+    for sh in range(d):
+        st = sh * m
+        left_code = sc[st - 1] if st else sc[0]
+        lasts.append(int(last_bmax_boundary(sc[st:st + m], left_code, st)))
+    carries = [-1] * d
+    run = -1
+    for sh in range(d):
+        carries[sh] = run
+        run = max(run, lasts[sh])
+
+    shards = []
+    for sh in range(d):
+        st = sh * m
+        win = slice(st, st + m + 2 * halo)   # padded coords: global st-halo
+        shards.append(build_source_cells_window(
+            scp[win], psp[win], msp[win], b, 0.5, gs,
+            jnp.int32(st), m, n_pad, jnp.int32(carries[sh]), lo, size,
+            drift_sorted=dfp[win], g2_factor=4,
+        ))
+
+    counts = [int(s.n_cells) for s in shards]
+    assert sum(counts) == int(want.n_cells)
+    assert sum(int(s.n_child) for s in shards) == int(want.n_child)
+    assert sum(int(s.n_g2) for s in shards) == int(want.n_g2)
+
+    def stitched(field):
+        return np.concatenate([
+            np.asarray(getattr(s, field))[:c] for s, c in zip(shards, counts)
+        ])
+
+    gn = int(want.n_cells)
+    for f in ("first", "count", "child_first", "child_count"):
+        np.testing.assert_array_equal(
+            stitched(f), np.asarray(getattr(want, f))[:gn], err_msg=f)
+    np.testing.assert_array_equal(
+        stitched("gchild_complete"), np.asarray(want.gchild_complete)[:gn])
+    for f in ("diam", "lo", "hi", "child_diam", "gchild_diam_max",
+              "skin", "child_skin"):
+        np.testing.assert_allclose(
+            stitched(f), np.asarray(getattr(want, f))[:gn],
+            rtol=1e-6, atol=1e-6, err_msg=f)
+    # moments: the shards' WINDOW-LOCAL prefix sums are shorter (and so
+    # more accurate) than the global fp32 prefix.  The GLOBAL baseline's
+    # own cancellation noise on a segment of mass m_seg is
+    # ~eps_f32 * sum(G*m*|x|) / m_seg (worst observed: single-particle
+    # grandchildren late in the array, ~0.6 absolute), so com errors are
+    # bounded MASS-SCALED, not by a flat atol
+    for f in ("gmass", "child_gmass", "gchild_gmass"):
+        np.testing.assert_allclose(
+            stitched(f), np.asarray(getattr(want, f))[:gn],
+            rtol=1e-3, atol=1e-3, err_msg=f)
+    # com compared only where the segment carries REAL mass: zero-mass
+    # pad segments get phantom ~5e-4 moments from XLA's parallel-scan
+    # cumsum reassociation (cumsum[i+1] - cumsum[i] != x[i+1] bitwise) in
+    # BOTH builds — the gmass check above already bounds those to <=1e-3
+    noise = 4 * 1.2e-7 * float(jnp.sum(0.5 * ms * jnp.max(jnp.abs(ps), 1)))
+    for f, mf in (("com", "gmass"), ("child_com", "child_gmass"),
+                  ("gchild_com", "gchild_gmass")):
+        got_c = stitched(f)
+        want_c = np.asarray(getattr(want, f))[:gn]
+        gm_f = np.asarray(getattr(want, mf))[:gn]
+        allow = 1e-2 + noise / np.maximum(gm_f, 1e-6)
+        err = np.abs(got_c - want_c).max(axis=-1)
+        err = np.where(gm_f > 1e-2, err, 0.0)
+        assert np.all(err <= allow), (
+            f"{f}: max excess {float((err - allow).max())}"
+        )
+    assert not any(bool(s.overflow) for s in shards)

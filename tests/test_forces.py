@@ -428,7 +428,8 @@ def test_g2_cap_overflow_is_graceful():
     mass = jnp.asarray(rng.uniform(1.0, 5.0, n).astype(np.float32))
     cfg = SimConfig(n=n, theta=0.5, force_tile=256, use_pallas=False,
                     sup_cap=64, mid_cap=256, cmid_cap=512, near_cap=512,
-                    g2_cap_factor=1)
+                    g2_cap_factor=1, cell_cap_factor=4)  # overflow scenario
+                    # calibrated at factor 4 (c2_cap scales with capacity)
     pos_p, mass_p, codes_p = _sorted_grouped(pos, mass, cfg)
     from nbody_tpu.ops.cells import build_source_cells
 

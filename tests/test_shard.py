@@ -199,6 +199,120 @@ def test_sharded_adaptive_overflow_feedback_matches(eight_devices):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_near_halo_reach_predicate_detects_seams(eight_devices):
+    """The dense disk-galaxy core sits at the cloud centroid = the
+    junction of all eight top-level Morton octants, so core targets'
+    near windows span rank-DISTANT rows (measured reach ~3.6 slabs of 8
+    at n=8k) — a contiguous halo cannot cover them and the replicated
+    reach predicate must say so, routing the near band to the all_gather
+    fallback instead of silently reading wrong halo rows."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from nbody_tpu.parallel import shard as sh
+    from nbody_tpu.models.simulation import sort_by_morton
+    from nbody_tpu.ops import forces
+
+    d = 8
+    cfg = SimConfig(n=64 * d * 16, theta=0.8, force_tile=64,
+                    use_pallas=False, ic_rng="jax", near_halo_div=2)
+    state = disk_galaxy_jax(cfg.n, seed=7, g=cfg.g)
+    mesh = make_mesh(d)
+
+    def body(pos, mass):
+        pos_g = sh._gather(pos)
+        mass_g = sh._gather(mass)
+        codes_s, perm, _, _ = sort_by_morton(pos_g, cfg)
+        ps, ms, cs = forces.pad_sorted(
+            pos_g[perm], mass_g[perm], codes_s, cfg.force_tile
+        )
+        cells, ssf, bands, tables, my_pos = sh._classify_slab(ps, ms, cs, cfg)
+        m = my_pos.shape[0]
+        h = sh._near_halo_rows(m, cfg)
+        ok = sh._near_reach_ok(bands, m, h)
+        return (jnp.broadcast_to(ok, (m,)),)
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(P(sh.AXIS), P(sh.AXIS)),
+        out_specs=(P(sh.AXIS),), check_vma=False,
+    )
+    sharded = shard_state(state, mesh)
+    (ok,) = jax.jit(fn)(sharded.pos, sharded.mass)
+    assert not bool(np.asarray(ok)[0]), (
+        "octant-seam windows should exceed any contiguous halo here"
+    )
+
+
+def test_near_halo_fast_path_matches_gather(eight_devices):
+    """For windows that DO fit the halo, the ppermute fast path must be a
+    pure re-indexing of the all_gather path (ext row = global row -
+    (me*m - h)) — bitwise-identical accelerations.  Windows are
+    synthesized in-reach (the production predicate gates on exactly this
+    property)."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from nbody_tpu.parallel import shard as sh
+    from nbody_tpu.ops import forces
+
+    d = 8
+    b = 64
+    m = 4 * b
+    n = d * m
+    cfg = SimConfig(n=n, theta=0.5, force_tile=b, use_pallas=False,
+                    ic_rng="jax", near_halo_div=2)
+    h = sh._near_halo_rows(m, cfg)
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 100)
+    mass = jnp.asarray(rng.uniform(1, 2, size=(n,)).astype(np.float32))
+
+    # synthetic windows per target block: W in-reach aligned windows each
+    t_per = m // b
+    w_cap = 8
+    wf_np = np.zeros((d * t_per, w_cap), np.int32)
+    wm_np = np.zeros((d * t_per, 4, w_cap), np.int32)
+    wc_np = np.full((d * t_per,), w_cap, np.int32)
+    for c in range(d):
+        lo = max(0, c * m - h)
+        hi = min(n, (c + 1) * m + h) - forces.SPAN_ALIGN
+        starts = rng.integers(lo // 128, hi // 128 + 1,
+                              size=(t_per, w_cap)) * 128
+        starts.sort(axis=1)
+        wf_np[c * t_per:(c + 1) * t_per] = starts
+        wm_np[c * t_per:(c + 1) * t_per] = rng.integers(
+            1, 2**31, size=(t_per, 4, w_cap), dtype=np.int64
+        ).astype(np.int32)
+    wf = jnp.asarray(wf_np)
+    wm = jnp.asarray(wm_np)
+    wc = jnp.asarray(wc_np)
+
+    mesh = make_mesh(d)
+
+    def body(pos_l, mass_l, wf_l, wm_l, wc_l):
+        bands = type("B", (), {})()  # apply_near reads only these three
+        me = jax.lax.axis_index(sh.AXIS)
+        base = me * m - h
+        p_ext = sh._halo_ext(pos_l, h)
+        m_ext = sh._halo_ext(mass_l, h)
+        a_fast = forces.near_correction_jnp(
+            pos_l, p_ext, m_ext, jnp.maximum(wf_l - base, 0), wm_l, cfg
+        )
+        pos_g = sh._gather(pos_l)
+        mass_g = sh._gather(mass_l)
+        a_slow = forces.near_correction_jnp(
+            pos_l, pos_g, mass_g, wf_l, wm_l, cfg
+        )
+        return a_fast, a_slow
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(sh.AXIS),) * 5, out_specs=(P(sh.AXIS),) * 2,
+        check_vma=False,
+    )
+    a_fast, a_slow = jax.jit(fn)(pos, mass, wf, wm, wc)
+    np.testing.assert_array_equal(np.asarray(a_fast), np.asarray(a_slow))
+
+
 def test_reslab_halo_fast_path_and_fallback(eight_devices):
     """The o(N)-rebuild-traffic mechanism (config-5): slab-resident rows
     are re-slabbed by a FIXED-SIZE neighbor halo exchange when the Morton

@@ -25,9 +25,17 @@ adv = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
 cfg = SimConfig(n=n, rebuild_every=16, hold_farmid=4, check_overflow=False)
 sim = Simulation(cfg)
-st = jax.device_put(sim.init_state())
-_sync(st)
-if adv:
+hot = _os.environ.get("NBODY_HOT_STATE")
+if hot:
+    from nbody_tpu.utils.io import load_checkpoint
+    st, at = load_checkpoint(hot)
+    st = jax.device_put(st)
+    _sync(st)
+    print(f"  loaded {hot} (step {at})", flush=True)
+else:
+    st = jax.device_put(sim.init_state())
+    _sync(st)
+if adv and not hot:
     done = 0
     while done < adv:
         k = min(256, adv - done)
