@@ -21,8 +21,21 @@ from nbody_tpu.ops import bbox as _bbox
 from nbody_tpu.utils.profiling import _sync, time_fn
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-cfg = SimConfig(n=n, check_overflow=False)
-st = make_initial_state(cfg)
+over = {}
+for kv in sys.argv[2:]:
+    k_, v_ = kv.split("=")
+    f_ = SimConfig.__dataclass_fields__[k_].type
+    over[k_] = (v_.lower() in ("1", "true")) if "bool" in str(f_) else (
+        float(v_) if "float" in str(f_) else int(v_))
+cfg = SimConfig(n=n, check_overflow=False, **over)
+hot = _os.environ.get("NBODY_HOT_STATE")
+if hot:
+    from nbody_tpu.utils.io import load_checkpoint
+    st, _at = load_checkpoint(hot)
+    st = jax.device_put(st)
+    print(f"  loaded {hot} (step {_at})", flush=True)
+else:
+    st = make_initial_state(cfg)
 cs_, perm, lo, size = sort_by_morton(st.pos, cfg)
 ps, ms, cs = forces.pad_sorted(st.pos[perm], st.mass[perm], cs_, cfg.force_tile)
 

@@ -19,6 +19,12 @@ caps = {}
 if os.environ.get("KS_CAPS"):
     s_, m_, c_, n_ = (int(x) for x in os.environ["KS_CAPS"].split(","))
     caps = dict(sup_cap=s_, mid_cap=m_, cmid_cap=c_, near_cap=n_)
+# generic SimConfig overrides, e.g. KS_OVER="force_tile=512,farmid_span_rebuilds=1"
+for kv in filter(None, os.environ.get("KS_OVER", "").split(",")):
+    k_, v_ = kv.split("=")
+    f_ = SimConfig.__dataclass_fields__[k_].type
+    caps[k_] = (v_.lower() in ("1", "true")) if "bool" in str(f_) else (
+        float(v_) if "float" in str(f_) else int(v_))
 cfg = SimConfig(n=N, theta=0.5, use_pallas=True, adaptive_rebuild=A,
                 rebuild_every=K, hold_farmid=R, skin_width_cap=ALPHA,
                 check_overflow=False, **caps)

@@ -22,8 +22,15 @@ from nbody_tpu.utils.profiling import _sync, time_fn
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 adv = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+over = {}
+for kv in sys.argv[3:]:
+    k_, v_ = kv.split("=")
+    f_ = SimConfig.__dataclass_fields__[k_].type
+    over[k_] = (v_.lower() in ("1", "true")) if "bool" in str(f_) else (
+        float(v_) if "float" in str(f_) else int(v_))
 
-cfg = SimConfig(n=n, rebuild_every=16, hold_farmid=4, check_overflow=False)
+cfg = SimConfig(n=n, rebuild_every=16, hold_farmid=4, check_overflow=False,
+                **over)
 sim = Simulation(cfg)
 hot = _os.environ.get("NBODY_HOT_STATE")
 if hot:
