@@ -131,10 +131,17 @@ def main():
     n = int(os.environ.get("NBODY_BENCH_N", 1_000_000))
     frames = int(os.environ.get("NBODY_BENCH_FRAMES", 32))
     k = int(os.environ.get("NBODY_BENCH_K", 16))
-    tile = int(os.environ.get("NBODY_BENCH_TILE", 256))
+    # tile 512 beats 256 at BOTH epochs at 1M (IC 73.0 vs ~80 ms/step,
+    # hot 226 vs ~300 — PERF.md round-4: halving T halves classification
+    # and table rows while the SS level keeps the far sweep cheap)
+    tile = int(os.environ.get("NBODY_BENCH_TILE", 512))
     # R=8 far+mid hold is kilostep-gated: 0.130% drift vs the 0.2%
     # criterion (tools/_prof_kilostep.py 16 8, PERF.md round-3)
     r = int(os.environ.get("NBODY_BENCH_R", 8))
+    # carry the held far+mid ACROSS rebuilds so the r-RESPA hold engages
+    # at the hot state (horizon 1-2): hot 234 -> 193 ms/step at 1M,
+    # kilostep-gated (PERF.md round-4)
+    span = os.environ.get("NBODY_BENCH_SPAN", "1") == "1"
 
     import jax
 
@@ -151,7 +158,8 @@ def main():
     # rebuild over fewer than K steps
     frames = max(k, -(-frames // k) * k)
     cfg = SimConfig(n=n, theta=0.5, use_pallas=on_tpu, rebuild_every=k,
-                    force_tile=tile, hold_farmid=r)
+                    force_tile=tile, hold_farmid=r,
+                    farmid_span_rebuilds=span)
     # optional per-band cap overrides (cap tuning at non-1M workloads,
     # e.g. NBODY_BENCH_CAPS=sup_cap:320,cmid_cap:768)
     caps = os.environ.get("NBODY_BENCH_CAPS")

@@ -133,6 +133,20 @@ class SimConfig:
                                    # (r-RESPA force splitting); the exact
                                    # near band stays live every step.
                                    # Must divide rebuild_every; 1 = off
+    farmid_span_rebuilds: bool = False  # carry the held far+mid accel
+                                   # ACROSS rebuilds (re-permuted through
+                                   # the rebuild's packed gather) so the
+                                   # r-RESPA hold engages even at the hot
+                                   # state, whose validity horizon of 1-2
+                                   # otherwise forces a far+mid sweep
+                                   # every step.  Physics identical to
+                                   # holding within a cycle (staleness is
+                                   # still <= R steps); kilostep-gated
+                                   # before shipping (PERF.md round-4).
+                                   # Adaptive single-chip runners only —
+                                   # the sharded twins keep the in-cycle
+                                   # hold, so equivalence tests must run
+                                   # with this off.
     refresh_moments: bool = False  # at each far+mid refresh, RECOMPUTE
                                    # all source moments from live
                                    # positions at the frozen cut and

@@ -326,7 +326,7 @@ def _adaptive_rebuild_fn(cfg: SimConfig):
     def norms(x):
         return jnp.sqrt(jnp.sum(x * x, axis=1))
 
-    def rebuild(posf, velf, mass, accf, orig, k_env):
+    def rebuild(posf, velf, mass, accf, orig, k_env, afmf=None):
         pos = _v3(posf)
         codes_s, perm, box_lo, size = sort_by_morton(pos, cfg)
         # ONE packed row-gather applies the Morton permutation to every
@@ -334,16 +334,19 @@ def _adaptive_rebuild_fn(cfg: SimConfig):
         # width <= 128 (PERF.md) vs ~32 ns/particle for the five separate
         # gathers this replaces, and it materializes one padded temp
         # instead of five (int32 orig rides along bitcast to f32 — a
-        # gather moves bits, never arithmetic)
-        packed = jnp.concatenate(
-            [pos, _v3(velf), _v3(accf), mass[:, None],
-             jax.lax.bitcast_convert_type(orig, jnp.float32)[:, None]],
-            axis=1,
-        )                                                     # [Np, 11]
+        # gather moves bits, never arithmetic).  When the held far+mid
+        # acceleration SPANS rebuilds (cfg.farmid_span_rebuilds), it
+        # rides the same gather as three more lanes.
+        cols = [pos, _v3(velf), _v3(accf), mass[:, None],
+                jax.lax.bitcast_convert_type(orig, jnp.float32)[:, None]]
+        if afmf is not None:
+            cols.append(_v3(afmf))
+        packed = jnp.concatenate(cols, axis=1)           # [Np, 11|14]
         g = packed[perm]
         pos, vel, acc = g[:, 0:3], g[:, 3:6], g[:, 6:9]
         mass = g[:, 9]
         orig = jax.lax.bitcast_convert_type(g[:, 10], jnp.int32)
+        afm_out = None if afmf is None else _flat(g[:, 11:14])
         v = norms(vel)
         a = norms(acc)
         # SELF-TUNED envelope horizon: skins sized for the reuse actually
@@ -377,8 +380,11 @@ def _adaptive_rebuild_fn(cfg: SimConfig):
         # refresh context: what forces.refresh_farmid needs to recompute
         # moments at this build's frozen cut (codes/skins/quantization box)
         rctx = (codes_s, drift, box_lo, size)
-        return (_flat(pos), _flat(vel), mass, _flat(acc), orig,
-                supers, bands, tables, rctx), (s_valid, k_next)
+        built = (_flat(pos), _flat(vel), mass, _flat(acc), orig,
+                 supers, bands, tables, rctx)
+        if afmf is not None:
+            return built, (s_valid, k_next), afm_out
+        return built, (s_valid, k_next)
 
     return rebuild
 
@@ -395,6 +401,7 @@ def _adaptive_parts(cfg: SimConfig):
     interactive stepper, whose band state must survive host-call
     boundaries."""
     r = max(1, cfg.hold_farmid)
+    span = cfg.farmid_span_rebuilds
     rebuild = _adaptive_rebuild_fn(cfg)
 
     def init_carry(state: ParticleState):
@@ -413,22 +420,36 @@ def _adaptive_parts(cfg: SimConfig):
          rctx) = s[6:]
 
         trig = left <= 0
-        (posf, velf, mass, accf, orig, supers, bands, tables,
-         rctx), (s_new, k_new) = jax.lax.cond(
-            trig,
-            lambda c: rebuild(*c[:5], c[9]),
-            lambda c: (c[:9], (jnp.int32(0), c[9])),
-            (posf, velf, mass, accf, orig, supers, bands, tables, rctx,
-             k_env),
-        )
+        if span:
+            # the held far+mid SPANS rebuilds: it rides the rebuild's
+            # packed permutation gather, so only AGE refreshes it
+            (posf, velf, mass, accf, orig, supers, bands, tables,
+             rctx), (s_new, k_new), afmf = jax.lax.cond(
+                trig,
+                lambda c: rebuild(*c[:5], c[9], c[10]),
+                lambda c: (c[:9], (jnp.int32(0), c[9]), c[10]),
+                (posf, velf, mass, accf, orig, supers, bands, tables,
+                 rctx, k_env, afmf),
+            )
+            refresh = afm_age >= r
+        else:
+            (posf, velf, mass, accf, orig, supers, bands, tables,
+             rctx), (s_new, k_new) = jax.lax.cond(
+                trig,
+                lambda c: rebuild(*c[:5], c[9]),
+                lambda c: (c[:9], (jnp.int32(0), c[9])),
+                (posf, velf, mass, accf, orig, supers, bands, tables,
+                 rctx, k_env),
+            )
+            # refresh the held far+mid on rebuild or every R steps; with
+            # cfg.refresh_moments an AGE refresh also recomputes every
+            # source moment from live positions at the frozen cut (a
+            # rebuild's own tables are already live-exact, so the trig
+            # branch keeps them)
+            refresh = trig | (afm_age >= r)
         left = jnp.where(trig, s_new, left)
         k_env = k_new
         pos = _v3(posf)
-        # refresh the held far+mid on rebuild or every R steps; with
-        # cfg.refresh_moments an AGE refresh also recomputes every source
-        # moment from live positions at the frozen cut (a rebuild's own
-        # tables are already live-exact, so the trig branch keeps them)
-        refresh = trig | (afm_age >= r)
         frozen_fm = lambda args: _flat(
             forces.apply_farmid(_v3(args[0]), args[1], args[2], cfg)
         )
@@ -525,6 +546,7 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
     always flat (the rebuild re-materializes everything anyway).
     """
     r = max(1, cfg.hold_farmid)
+    span = cfg.farmid_span_rebuilds
     _, _, extract = _adaptive_parts(cfg)
     rebuild_fn = _adaptive_rebuild_fn(cfg)
 
@@ -533,16 +555,34 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
         inner3 = pos.shape[0] <= _INNER3_MAX_NPAD
         carry0 = (jnp.int32(0), jnp.int32(0), jnp.int32(cfg.rebuild_every),
                   _flat(pos), _flat(vel), mass, _flat(acc), orig)
+        if span:
+            # the held far+mid acceleration SPANS rebuilds: it rides the
+            # rebuild's packed permutation gather and is refreshed every
+            # R steps REGARDLESS of the rebuild cadence — at the hot
+            # state (validity horizon 1-2) the r-RESPA hold otherwise
+            # never engages and the far+mid sweep is paid every step.
+            # age starts AT r so the very first step refreshes.
+            carry0 = carry0 + (jnp.int32(r), _flat(jnp.zeros_like(pos)))
 
         def outer_cond(s):
             return s[0] < n_steps
 
         def outer_body(s):
-            i, n_rb, k_env, posf, velf, mass, accf, orig = s
-            (posf, velf, mass, accf, orig, supers, bands, tables,
-             rctx), (s_valid, k_env) = rebuild_fn(
-                posf, velf, mass, accf, orig, k_env
-            )
+            i, n_rb, k_env = s[0], s[1], s[2]
+            posf, velf, mass, accf, orig = s[3:8]
+            if span:
+                (posf, velf, mass, accf, orig, supers, bands, tables,
+                 rctx), (s_valid, k_env), afmf0 = rebuild_fn(
+                    posf, velf, mass, accf, orig, k_env, s[9]
+                )
+                age0 = s[8]
+            else:
+                (posf, velf, mass, accf, orig, supers, bands, tables,
+                 rctx), (s_valid, k_env) = rebuild_fn(
+                    posf, velf, mass, accf, orig, k_env
+                )
+                afmf0 = jnp.zeros_like(posf)
+                age0 = jnp.int32(0)
             t_seg = jnp.minimum(s_valid, n_steps - i)
             # carry-form converters: [N,3] carries when inner3, flat [3N]
             # otherwise (to3: carry -> [N,3]; toc: [N,3] -> carry)
@@ -555,7 +595,10 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
             def inner_body(c):
                 j, afm_age, afm, pos, vel, acc = c
                 pos3 = to3(pos)
-                refresh = (j == 0) | (afm_age >= r)
+                # span: the carried afm stays valid across the rebuild
+                # (re-permuted), so only AGE triggers a refresh
+                refresh = (afm_age >= r) if span else (
+                    (j == 0) | (afm_age >= r))
                 if cfg.refresh_moments:
                     # j == 0: the rebuild's own tables are live-exact;
                     # later refreshes recompute moments at the frozen cut
@@ -589,18 +632,21 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
                 return (j + 1, afm_age, toc(afm3),
                         toc(st.pos), toc(st.vel), toc(a))
 
-            j, _, _, pos_o, vel_o, acc_o = jax.lax.while_loop(
+            j, age_o, afm_o, pos_o, vel_o, acc_o = jax.lax.while_loop(
                 inner_cond, inner_body,
-                (jnp.int32(0), jnp.int32(0),
-                 toc(jnp.zeros_like(_v3(posf))),
+                (jnp.int32(0), age0,
+                 toc(_v3(afmf0)) if span else toc(jnp.zeros_like(_v3(posf))),
                  toc(_v3(posf)), toc(_v3(velf)), toc(_v3(accf))),
             )
-            return (i + j, n_rb + 1, k_env,
-                    _flat(to3(pos_o)), _flat(to3(vel_o)), mass,
-                    _flat(to3(acc_o)), orig)
+            out = (i + j, n_rb + 1, k_env,
+                   _flat(to3(pos_o)), _flat(to3(vel_o)), mass,
+                   _flat(to3(acc_o)), orig)
+            if span:
+                out = out + (age_o, _flat(to3(afm_o)))
+            return out
 
         out = jax.lax.while_loop(outer_cond, outer_body, carry0)
-        carry_like = (None,) * 6 + out[3:]   # extract reads [6:11]
+        carry_like = (None,) * 6 + out[3:8]  # extract reads [6:11]
         result = extract(carry_like, state.pos.shape[0], state.mass)
         if return_stats:
             return result, out[1]

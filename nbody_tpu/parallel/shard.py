@@ -20,8 +20,12 @@ Decomposition (the "config-5" design, SURVEY.md §2.3 row SP/CP):
     exchange (Morton slabs drift by only a few ranks per cycle); a
     replicated scalar predicate falls back to a full gather in the rare
     case a slab moved past the halo, so correctness never depends on the
-    drift bound.  The adaptive source cells and super monopoles are
-    built replicated (O(N) scans with small constants);
+    drift bound.  The adaptive source CELLS are built OWNER-COMPUTES
+    over slab + 4b halo windows (O(N/D) compute,
+    ops/cells.build_source_cells_window) and stitched into the
+    replicated global cell list by an O(cells) summary all_gather
+    (_stitch_cells); super/super-super monopoles regroup from those
+    (O(cells));
   * CLASSIFICATION (band lists + tables — the dominant build cost) runs
     ONLY for the chip's own T/D target blocks: per-chip band shapes are
     statically T/D (asserted at trace time below);
@@ -34,9 +38,10 @@ Decomposition (the "config-5" design, SURVEY.md §2.3 row SP/CP):
     tables;
   * integration is slab-local.
 
-Per-chip per-step compute is therefore ~1/D of the sweep work; the
-replicated residue is the per-cycle sort + cell build only (O(N) scans,
-~8 + ~126 ms at 1M — amortized over the K steps of a cycle).
+Per-chip per-step compute is therefore ~1/D of the sweep work AND ~1/D
+of the cell-build work; the replicated residue is the per-cycle Morton
+sort only (O(N log N) with a tiny constant — measured 1.6 ms/M,
+amortized over the K steps of a cycle).
 
 Two production runners mirror the single-chip ones step for step:
 `make_sharded_runner` (fixed-K cycles, models/simulation.make_cycle_runner
@@ -80,14 +85,87 @@ def _gather(x):
     return g.reshape((-1,) + g.shape[2:])
 
 
+_SHARD_CELL_SKEW = 4   # per-shard owned-cell headroom over perfect balance
+
+
+def _shard_cell_cap(cfg: SimConfig, d: int) -> int:
+    """Per-shard OWNED-cell capacity for the windowed build:
+    cell_capacity/D with _SHARD_CELL_SKEW headroom (the contracted core
+    concentrates small cells in a few slabs), rounded up to 64, never
+    above the global cap.  Per-shard overflow is psum'd into the global
+    cells.overflow, so a skew bust is as loud as a global cap bust."""
+    cap = -(-cfg.cell_capacity * _SHARD_CELL_SKEW // (64 * d)) * 64
+    return min(cfg.cell_capacity, max(64, cap))
+
+
+def _stitch_cells(sc, g_cap: int, cap_s: int, d: int):
+    """all_gather the per-shard OWNED cell rows (packed live prefixes)
+    and compact them into the global SourceCells every chip needs for
+    the far/mid sweeps and classification.
+
+    Shards' cells concatenated in shard order ARE the global cell list
+    (build_source_cells_window contract: cells are disjoint runs ordered
+    by first particle), so compaction is D ascending
+    dynamic_update_slice block writes at exclusive-prefix offsets: shard
+    i's pad spill past its live prefix is overwritten by shard i+1's
+    block, and the LAST shard's spill lands at rows >= n_tot where its
+    pad values ARE the global build's pad convention (zeros; +/-big for
+    lo/hi; False for gchild_complete).  Wire cost is O(cells) rows
+    (~1.4 KB each), not O(N) positions — SURVEY.md §7 step 8's
+    "all-gather per-shard top-tree summaries"."""
+    from nbody_tpu.ops.cells import SourceCells
+
+    n_i = jax.lax.all_gather(sc.n_cells, AXIS)            # [D]
+    off = jnp.cumsum(n_i) - n_i                           # exclusive
+    n_tot = jnp.sum(n_i)
+    ext = g_cap + cap_s                                   # spill room
+
+    big_f = jnp.float32(3.0e38)
+    pads = {"lo": big_f, "hi": -big_f}
+
+    def stitch(name):
+        field = getattr(sc, name)
+        g = jax.lax.all_gather(field, AXIS)               # [D, cap_s, ...]
+        pad = pads.get(name, False if field.dtype == jnp.bool_ else 0)
+        out = jnp.full((ext,) + field.shape[1:], pad, field.dtype)
+        for i in range(d):
+            out = jax.lax.dynamic_update_slice_in_dim(out, g[i], off[i], 0)
+        return out[:g_cap]
+
+    row_fields = [f for f in SourceCells._fields
+                  if f not in ("n_cells", "n_child", "n_g2",
+                               "overflow", "overflow_g2")]
+    stitched = {f: stitch(f) for f in row_fields}
+    any_over = jax.lax.psum(sc.overflow.astype(jnp.int32), AXIS) > 0
+    any_over_g2 = jax.lax.psum(sc.overflow_g2.astype(jnp.int32), AXIS) > 0
+    return SourceCells(
+        **stitched,
+        n_cells=jnp.minimum(n_tot, g_cap),
+        n_child=jax.lax.psum(sc.n_child, AXIS),
+        n_g2=jax.lax.psum(sc.n_g2, AXIS),
+        overflow=any_over | (n_tot > g_cap),
+        overflow_g2=any_over_g2,
+    )
+
+
 def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
-    """Replicated cells/supers + MY SLAB's classification.
+    """OWNER-COMPUTES cells + MY SLAB's classification.
 
     pos_s/mass_s/codes_s/drift are the GLOBAL sorted (padded) arrays;
     returns (cells, supers, bands_slab, tables_slab, my_pos).
-    Per-chip classification work is statically T/D — asserted below.
+
+    The adaptive-cut cell build runs over MY slab + a 4b halo window
+    only (ops/cells.build_source_cells_window — O(N/D) compute, vs the
+    round-3 replicated O(N) build), with the one unbounded cut carry
+    (the last max-depth run boundary) exchanged as a [D] scalar gather;
+    the per-shard owned cells are then stitched into the replicated
+    global SourceCells by an O(cells) summary all_gather
+    (_stitch_cells).  Per-chip classification work is statically T/D —
+    asserted below.
     """
-    from nbody_tpu.ops.cells import build_source_cells
+    from nbody_tpu.ops.cells import (
+        build_source_cells_window, last_bmax_boundary,
+    )
 
     d = jax.lax.axis_size(AXIS)
     me = jax.lax.axis_index(AXIS)
@@ -96,23 +174,46 @@ def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
     b = cfg.force_tile
 
     box_lo, box_size = bbox.bounding_cube(pos_s)
-    cells = build_source_cells(
-        codes_s, pos_s, mass_s, b, cfg.g, cfg.cell_capacity,
-        box_lo, box_size, drift_sorted=drift,
+    halo = 4 * b
+    cap_s = _shard_cell_cap(cfg, d)
+    start = me * m
+
+    def win(x):
+        # slab + 4b halo window in EDGE-PADDED coords (never clamps, so
+        # the window stays exactly centered on the owned range)
+        left = jnp.broadcast_to(x[:1], (halo,) + x.shape[1:])
+        right = jnp.broadcast_to(x[-1:], (halo,) + x.shape[1:])
+        return jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([left, x, right]), start, m + 2 * halo, 0)
+
+    # cross-shard cut carry: last max-depth run boundary BEFORE my slab
+    codes_own = jax.lax.dynamic_slice_in_dim(codes_s, start, m, 0)
+    left_code = codes_s[jnp.maximum(start - 1, 0)]
+    my_last = last_bmax_boundary(codes_own, left_code, start)
+    lasts = jax.lax.all_gather(my_last, AXIS)             # [D] scalars
+    carry = jnp.max(jnp.where(
+        jnp.arange(d, dtype=jnp.int32) < me, lasts, jnp.int32(-1)))
+
+    shard_cells = build_source_cells_window(
+        win(codes_s), win(pos_s), win(mass_s), b, cfg.g, cap_s,
+        start, m, n_pad, carry, box_lo, box_size,
+        drift_sorted=None if drift is None else win(drift),
         g2_factor=cfg.g2_cap_factor,
     )
+    # config-5 invariant: per-chip cell-build output is OWNED cells only
+    # (capacity cell_capacity*skew/D), never the global list
+    assert shard_cells.first.shape[0] == cap_s
+    cells = _stitch_cells(shard_cells, cfg.cell_capacity, cap_s, d)
     supers = forces.make_supers(cells)
     ss = forces.make_supersupers(supers)
 
-    start = me * m
     my_pos = jax.lax.dynamic_slice_in_dim(pos_s, start, m, 0)
     my_drift = (
         None if drift is None
         else jax.lax.dynamic_slice_in_dim(drift, start, m, 0)
     )
-    my_codes = jax.lax.dynamic_slice_in_dim(codes_s, start, m, 0)
     tgt_subs = forces.target_subspheres(my_pos, b, drift=my_drift,
-                                        codes=my_codes)
+                                        codes=codes_own)
     bands = forces.cell_band_lists(tgt_subs, ss, supers, cells, cfg)
     tables = forces.build_cell_tables(cells, supers, ss, bands)
     # config-5 invariant: classification output is the LOCAL slab only
@@ -445,6 +546,13 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
     down in lockstep), graceful degradation to per-step rebuilds in the
     hot core, and the far+mid r-RESPA hold refreshed on rebuild or every
     cfg.hold_farmid steps."""
+    if cfg.farmid_span_rebuilds:
+        # the sharded twin implements only the in-cycle hold; silently
+        # ignoring the flag would diverge from make_adaptive_runner's
+        # refresh schedule and break the equivalence contract
+        raise ValueError(
+            "farmid_span_rebuilds is single-chip only; run the sharded "
+            "adaptive runner with it off (in-cycle hold)")
     r = max(1, cfg.hold_farmid)
 
     built0 = _rebuild_sharded(pos, vel, mass, acc, orig, cfg,

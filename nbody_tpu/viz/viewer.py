@@ -98,26 +98,34 @@ class SimViewer:
         self._thread: threading.Thread | None = None
 
     # --- sim side -------------------------------------------------------
-    def _encode(self, frame) -> bytes:
-        from PIL import Image
-
+    def _quantize(self, frame):
         # quantize to uint8 ON DEVICE: the host fetch of a 1280x720 frame
         # then moves 2.7 MB instead of 11 MB of f32 — the tunnelled D2H
         # link is the live-view bottleneck (measured at 500k: the fetch,
         # not the sim step, dominated the frame time)
         import jax.numpy as jnp
 
-        q = jnp.clip(frame * 255.0, 0.0, 255.0).astype(jnp.uint8)
-        img = np.asarray(q)
+        return jnp.clip(frame * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+    def _encode(self, q) -> bytes:
+        from PIL import Image
+
+        img = np.asarray(q)                     # host fetch = device sync
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, "JPEG", quality=self.jpeg_quality)
         return buf.getvalue()
 
     def _loop(self) -> None:
-        from nbody_tpu.utils.profiling import _sync
-
+        # SOFTWARE PIPELINE, depth 1: each iteration first ENQUEUES the
+        # next frame's device work (step + render + quantize — JAX
+        # dispatch is async), then fetches + JPEG-encodes the PREVIOUS
+        # frame on the host while the device runs ahead.  Sim and encode
+        # overlap instead of serializing (round-3 weak spot: 3.96 FPS
+        # @500k with the serialized loop); the per-iteration fetch bounds
+        # the pipeline depth, so device queue growth is impossible.
+        pending = None                          # device uint8 frame
+        self._last_pub = time.perf_counter()
         while not self._stop.is_set():
-            t0 = time.perf_counter()
             if self._stepper is not None:
                 self._stepper.advance(self.steps_per_frame)
                 # render straight from the stepper's Morton-ordered
@@ -136,14 +144,24 @@ class SimViewer:
                 self.cfg.render_width, self.cfg.render_height,
                 self.mode, self.exposure,
             )
-            jpeg = self._encode(frame)          # host fetch = device sync
-            dt_ms = (time.perf_counter() - t0) * 1e3 / self.steps_per_frame
-            with self._lock:
-                self.step_count += self.steps_per_frame
-                self.ms_per_step = dt_ms
-            with self._new:
-                self._jpeg = jpeg
-                self._new.notify_all()
+            q = self._quantize(frame)
+            if pending is not None:
+                self._publish(pending)
+            pending = q
+        if pending is not None:                 # drain the last frame
+            self._publish(pending)
+
+    def _publish(self, q) -> None:
+        jpeg = self._encode(q)
+        now = time.perf_counter()
+        dt_ms = (now - self._last_pub) * 1e3 / self.steps_per_frame
+        self._last_pub = now
+        with self._lock:
+            self.step_count += self.steps_per_frame
+            self.ms_per_step = dt_ms
+        with self._new:
+            self._jpeg = jpeg
+            self._new.notify_all()
 
     def start(self) -> None:
         self._thread = threading.Thread(target=self._loop, daemon=True)

@@ -362,3 +362,26 @@ def test_reslab_halo_fast_path_and_fallback(eight_devices):
     out, any_out = run(perm_big)
     np.testing.assert_array_equal(out, np.asarray(x)[perm_big])
     assert any_out, "out-of-halo drift must trip the full-gather fallback"
+
+
+def test_sharded_rebuild_compute_is_o_n_over_d():
+    """Config-5's local half (SURVEY §7 step 8): per-chip REBUILD compute
+    must shrink with the mesh, not stay O(N).  The owner-computes cell
+    build runs over slab + 4b halo windows with a per-shard owned-cell
+    capacity ~cell_capacity/D (+skew); _stitch_cells all_gathers only
+    those O(cells/D) summary rows.  (The runtime shape asserts inside
+    _classify_slab fire on every sharded equivalence test above; this
+    pins the capacity arithmetic itself.)"""
+    from nbody_tpu.parallel.shard import _shard_cell_cap, _SHARD_CELL_SKEW
+
+    cfg = SimConfig(n=1_000_000, force_tile=512)
+    cap1 = _shard_cell_cap(cfg, 1)
+    cap8 = _shard_cell_cap(cfg, 8)
+    # D=1 degenerates to the global cap; D=8 owns ~skew/8 of it
+    assert cap1 == cfg.cell_capacity
+    assert cap8 <= -(-cfg.cell_capacity * _SHARD_CELL_SKEW // (64 * 8)) * 64
+    assert cap8 <= cfg.cell_capacity * _SHARD_CELL_SKEW // 8 + 64
+    # windowed-build input per chip is m + 8b rows, o(N) for D >= 2
+    n_pad = -(-cfg.n // (8 * cfg.force_tile)) * (8 * cfg.force_tile)
+    m = n_pad // 8
+    assert m + 8 * cfg.force_tile < n_pad // 4

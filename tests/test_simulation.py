@@ -296,3 +296,37 @@ def test_hold_farmid_non_divisor_raises_for_fixed_k():
     with pytest.raises(ValueError, match="hold_farmid"):
         SimConfig(n=512, rebuild_every=4, hold_farmid=3,
                   adaptive_rebuild=False)
+
+
+def test_farmid_span_rebuilds_tracks_exact():
+    """cfg.farmid_span_rebuilds carries the held far+mid accel ACROSS
+    rebuilds (re-permuted through the rebuild's packed gather) so the
+    r-RESPA hold engages even when the validity horizon is 1.  Both
+    runner forms must (a) track the exact hold_farmid=1 trajectory
+    within r-RESPA tolerance, and (b) agree with each other on the same
+    schedule."""
+    n = 2048
+    base = SimConfig(n=n, force_tile=256, use_pallas=False,
+                     rebuild_every=8, hold_farmid=5,   # 5 !| horizons:
+                     sup_cap=64, mid_cap=256, cmid_cap=512, near_cap=512,
+                     check_overflow=False)             # refreshes land
+    cfg = base.replace(farmid_span_rebuilds=True)      # mid-segment
+    state = disk_galaxy_jax(n, seed=9, g=base.g)
+    from nbody_tpu.models.simulation import make_adaptive_runner
+
+    exact = Simulation(base.replace(hold_farmid=1)).run_scan(state, 13)
+    got = jax.jit(make_adaptive_runner(cfg, 13))(state)
+    moved = np.linalg.norm(np.asarray(exact.pos) - np.asarray(state.pos),
+                           axis=1)
+    dp = np.linalg.norm(np.asarray(exact.pos) - np.asarray(got.pos), axis=1)
+    assert np.median(moved) > 0.5
+    assert np.max(dp) < 0.05 * max(np.median(moved), 1.0), (
+        np.max(dp), np.median(moved))
+
+    # the stepper path implements the same span schedule
+    stepper = Simulation(cfg).make_stepper(state)
+    for k in (4, 6, 3):
+        stepper.advance(k)
+    snap = stepper.snapshot()
+    np.testing.assert_allclose(np.asarray(snap.pos), np.asarray(got.pos),
+                               rtol=2e-6, atol=2e-4)
