@@ -619,3 +619,26 @@ def test_table_bytes_accounting():
                     cmid_cap=768, near_cap=1536)
     rows = 1536 + 9 * (cfg.ss_cap + 384 + 512 + 768)
     assert cfg.table_bytes == 4 * 4 * cfg.n_groups * rows
+
+
+def test_refresh_farmid_identity_at_unchanged_positions():
+    """forces.refresh_farmid (cfg.refresh_moments) recomputes every
+    source moment from LIVE positions at a FROZEN cut and regathers the
+    tables against the frozen classification.  With positions unchanged
+    the frozen cut, the moments, and the tables are the ones the
+    original build produced — the refreshed far+mid must be bit-equal
+    to apply_farmid over the original build (both paths run the same
+    deterministic compensated prefix sums)."""
+    pos, mass = _cloud(6000, seed=11)
+    cfg = SimConfig(n=6000, theta=0.5, force_tile=256, use_pallas=False,
+                    check_overflow=False)
+    from nbody_tpu.models.simulation import sort_by_morton
+
+    sc, perm, lo, size = sort_by_morton(pos, cfg)
+    ps, ms, cs = forces.pad_sorted(pos[perm], mass[perm], sc, cfg.force_tile)
+    cells, ss, bands, tables = forces.build_bands(ps, ms, cs, cfg)
+    want = forces.apply_farmid(ps, ss, tables, cfg)
+
+    blo, bsz = bbox.bounding_cube(ps)
+    got = forces.refresh_farmid(ps, ms, cs, None, blo, bsz, bands, cfg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
