@@ -128,25 +128,24 @@ def selfcheck(on_tpu: bool):
 
 
 def main():
-    n = int(os.environ.get("NBODY_BENCH_N", 1_000_000))
-    frames = int(os.environ.get("NBODY_BENCH_FRAMES", 32))
-    k = int(os.environ.get("NBODY_BENCH_K", 16))
-    # tile 512 beats 256 at BOTH epochs at 1M (IC 73.0 vs ~80 ms/step,
-    # hot 226 vs ~300 — PERF.md round-4: halving T halves classification
-    # and table rows while the SS level keeps the far sweep cheap)
-    tile = int(os.environ.get("NBODY_BENCH_TILE", 512))
-    # R=8 far+mid hold is kilostep-gated: 0.130% drift vs the 0.2%
-    # criterion (tools/_prof_kilostep.py 16 8, PERF.md round-3)
-    r = int(os.environ.get("NBODY_BENCH_R", 8))
-    # carry the held far+mid ACROSS rebuilds so the r-RESPA hold engages
-    # at the hot state (horizon 1-2): hot 234 -> 193 ms/step at 1M,
-    # kilostep-gated (PERF.md round-4)
-    span = os.environ.get("NBODY_BENCH_SPAN", "1") == "1"
-
     import jax
 
-    from nbody_tpu.config import SimConfig
+    from nbody_tpu.config import SimConfig, PRESETS
     from nbody_tpu.models.simulation import Simulation
+
+    # ONE source of truth for the shipping config: the v5_bench preset
+    # (config.py) — env knobs override it for experiments, but with no
+    # env set, bench == preset == kilostep gate == README (round-4
+    # verdict item 8).
+    preset = PRESETS[os.environ.get("NBODY_BENCH_PRESET", "v5_bench")]
+    n = int(os.environ.get("NBODY_BENCH_N", preset.n))
+    frames = int(os.environ.get("NBODY_BENCH_FRAMES", 32))
+    k = int(os.environ.get("NBODY_BENCH_K", preset.rebuild_every))
+    tile = int(os.environ.get("NBODY_BENCH_TILE", preset.force_tile))
+    r = int(os.environ.get("NBODY_BENCH_R", preset.hold_farmid))
+    span = os.environ.get(
+        "NBODY_BENCH_SPAN", "1" if preset.farmid_span_rebuilds else "0"
+    ) == "1"
 
     on_tpu = jax.devices()[0].platform != "cpu"
     if not on_tpu and "NBODY_BENCH_N" not in os.environ:
@@ -157,9 +156,9 @@ def main():
     # appends a short remainder cycle and the measured rate amortizes the
     # rebuild over fewer than K steps
     frames = max(k, -(-frames // k) * k)
-    cfg = SimConfig(n=n, theta=0.5, use_pallas=on_tpu, rebuild_every=k,
-                    force_tile=tile, hold_farmid=r,
-                    farmid_span_rebuilds=span)
+    cfg = preset.replace(n=n, theta=0.5, use_pallas=on_tpu,
+                         rebuild_every=k, force_tile=tile, hold_farmid=r,
+                         farmid_span_rebuilds=span)
     # optional per-band cap overrides (cap tuning at non-1M workloads,
     # e.g. NBODY_BENCH_CAPS=sup_cap:320,cmid_cap:768)
     caps = os.environ.get("NBODY_BENCH_CAPS")
@@ -168,6 +167,15 @@ def main():
             kv.split(":")[0]: int(kv.split(":")[1])
             for kv in caps.split(",") if kv
         })
+    # generic SimConfig overrides for experiments, same syntax as the
+    # kilostep tool: NBODY_BENCH_OVER="refresh_moments=1,horizon_floor=2"
+    for kv in filter(None, os.environ.get("NBODY_BENCH_OVER", "").split(",")):
+        k_, v_ = kv.split("=")
+        f_ = SimConfig.__dataclass_fields__[k_].type
+        cfg = cfg.replace(**{k_: (
+            (v_.lower() in ("1", "true")) if "bool" in str(f_)
+            else float(v_) if "float" in str(f_) else int(v_)
+        )})
     sim = Simulation(cfg, method="barnes_hut")
     print(f"[bench] n={n} theta={cfg.theta} K={k} R={r} "
           f"platform={jax.devices()[0]}", file=sys.stderr)
@@ -287,35 +295,31 @@ def main():
     drift_target = int(os.environ.get("NBODY_BENCH_DRIFT_STEPS", 1000))
     if not os.environ.get("NBODY_BENCH_SKIP_DRIFT"):
         try:
-            reps = -(-drift_target // frames)
-            n_drift = reps * frames
-            e0 = float(metrics.total_energy(state, cfg))
-            state2 = state
-            t_all0 = time.perf_counter()
-            for i in range(reps):
-                if i == reps - 1:
-                    _sync(state2)
-                    t0 = time.perf_counter()
-                state2 = sim.run_scan(state2, frames)
-            _sync(state2)
-            t_end = time.perf_counter()
-            hot = (t_end - t0) / frames
+            # canonical protocol (metrics.drift_protocol) — the SAME code
+            # path tools/_prof_kilostep.py gates on, so the driver
+            # artifact and the gate tool cannot measure different things.
+            # chunk=frames reuses the frames-sized compiled scan (a fresh
+            # scan shape would cost more multi-minute 1M compiles).
+            dp = metrics.drift_protocol(
+                sim, state, n_steps=drift_target, chunk=frames
+            )
+            n_drift = dp["drift_steps"]
+            extra["drift"] = round(dp["drift"], 6)
+            extra["drift_steps"] = n_drift
+            extra["value_hot"] = round(dp["hot_steps_per_sec"], 3)
+            extra["value_avg_1k"] = round(dp["avg_steps_per_sec"], 3)
+            print(f"[bench] E0={dp['e0']:.6e} E1={dp['e1']:.6e} "
+                  f"drift_{n_drift}={extra['drift']}", file=sys.stderr)
             # whole-run average over the FULL >= 1000-step evolution — the
             # reference bench's actual workload is 1000 EVOLVING frames
             # (nbody_v5_bench.cu:353-366), so the honest parity number is
             # this average, not the near-IC headline or the hot endpoint
-            avg = n_drift / (t_end - t_all0)
-            e1 = float(metrics.total_energy(state2, cfg))
-            extra["drift"] = round(metrics.energy_drift(e0, e1), 6)
-            extra["drift_steps"] = n_drift
-            extra["value_hot"] = round(1.0 / hot, 3)
-            extra["value_avg_1k"] = round(avg, 3)
-            print(f"[bench] E0={e0:.6e} E1={e1:.6e} "
-                  f"drift_{n_drift}={extra['drift']}", file=sys.stderr)
             print(f"[bench] whole-run average over {n_drift} steps: "
-                  f"{1e3/avg:.2f} ms  ({avg:.2f} steps/s)", file=sys.stderr)
+                  f"{1e3/dp['avg_steps_per_sec']:.2f} ms  "
+                  f"({dp['avg_steps_per_sec']:.2f} steps/s)", file=sys.stderr)
             print(f"[bench] hot-state step (after {n_drift - frames} steps): "
-                  f"{hot*1e3:.2f} ms  ({1.0/hot:.2f} steps/s)", file=sys.stderr)
+                  f"{1e3/dp['hot_steps_per_sec']:.2f} ms  "
+                  f"({dp['hot_steps_per_sec']:.2f} steps/s)", file=sys.stderr)
         except Exception as e:
             print(f"[bench] drift measurement failed: {e}", file=sys.stderr)
 

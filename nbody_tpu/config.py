@@ -128,6 +128,25 @@ class SimConfig:
                                    # 30-bit lattice cell) — without it one
                                    # dense run under 63-bit codes pins the
                                    # global-min validity horizon at 1
+    horizon_floor: int = 1         # lower bound on the adaptive validity
+                                   # horizon (models/simulation.
+                                   # validity_horizon).  The horizon is
+                                   # the GLOBAL min over particles, and
+                                   # at the 1M hot state the single
+                                   # fastest core particle pins it at 1
+                                   # (tools/_prof_hotcfg: s_valid stays 1
+                                   # even at skin_width_cap 2.5) — per-
+                                   # step rebuilds for everyone.  A floor
+                                   # of f deliberately lets the fastest
+                                   # tail run up to f-1 steps past its
+                                   # skin envelope: a bounded LOCAL theta
+                                   # violation (those particles' near
+                                   # band stays exact/live; only their
+                                   # far/mid classification staleness
+                                   # grows by the excess travel), traded
+                                   # for 1/f the hot-state rebuild
+                                   # cadence.  Kilostep-gated before
+                                   # shipping; 1 = off (strict horizon)
     hold_farmid: int = 1           # R: inside a reuse cycle, evaluate the
                                    # smooth far+mid bands once per R steps
                                    # (r-RESPA force splitting); the exact
@@ -176,6 +195,20 @@ class SimConfig:
                                    # replicated per-cycle predicate falls
                                    # back to the full gather when any
                                    # frozen window reaches past the halo
+    near_fetch_cap: int = 512      # sharded near band: max DISTINCT
+                                   # out-of-halo SPAN_ALIGN-row windows
+                                   # per chip fetched per step by a
+                                   # fixed-size all_to_all (the disk
+                                   # galaxy's dense core sits at the
+                                   # 8-octant Morton seam, so its near
+                                   # windows are rank-scattered and a
+                                   # contiguous halo can never cover
+                                   # them — parallel/shard.
+                                   # _near_fetch_plan).  Per-step wire
+                                   # cost D*cap*128 rows vs the O(N)
+                                   # live-position all_gather fallback;
+                                   # 0 disables (halo-only reach + full
+                                   # gather past it)
     # --- render (nbody_v5.cu:35-36, 385-389, 470-473) ---
     render_width: int = 1280
     render_height: int = 720
@@ -273,14 +306,21 @@ PRESETS = {
         n=10_000, theta=0.5, dt=0.03, morton_bits=63,
         legacy_softening=True, clamp_speed=False, ic_kind="legacy_disk",
     ),
-    # nbody_v5 interactive (nbody_v5.cu:34).
-    "v5": SimConfig(n=500_000, rebuild_every=16, hold_farmid=8),
-    # nbody_v5_bench at README/binary N (README.md:23).  The adaptive
-    # runner (envelope-triggered rebuilds, K=16 horizon, far+mid held 8
-    # steps) is the fastest config that passes the kilostep physics
-    # gate: 0.130% drift at R=8 vs the 0.2% criterion and the 0.175%
-    # per-step-rebuild control (PERF.md round-3; R=4 measured 0.122%).
-    "v5_bench": SimConfig(n=1_000_000, rebuild_every=16, hold_farmid=8),
+    # nbody_v5 interactive (nbody_v5.cu:34).  Same shipping knobs as the
+    # gated bench config below.
+    "v5": SimConfig(n=500_000, rebuild_every=16, hold_farmid=8,
+                    force_tile=512, farmid_span_rebuilds=True),
+    # nbody_v5_bench at README/binary N (README.md:23) — THE shipping
+    # config: what bench.py runs (it reads this preset), what the
+    # kilostep gate (tools/_prof_kilostep.py) certifies, and what
+    # README/PERF quote.  Adaptive envelope-triggered rebuilds with a
+    # K=16 horizon; far+mid held R=8 steps (r-RESPA), held accel
+    # carried ACROSS rebuilds (span) and midpoint-sampled (second-order
+    # hold); force_tile=512 (PERF.md round-4: beats 256 at both
+    # epochs).  Kilostep-gated at 1024 steps via metrics.drift_protocol
+    # — the SAME protocol bench.py reports (round-4 verdict items 1/8/9).
+    "v5_bench": SimConfig(n=1_000_000, rebuild_every=16, hold_farmid=8,
+                          force_tile=512, farmid_span_rebuilds=True),
     # BASELINE config 2.
     "bh_100k": SimConfig(n=100_000, rebuild_every=16, hold_farmid=8),
     # BASELINE config 5's workload on ONE chip, 4M-tuned (PERF.md "4M

@@ -276,7 +276,11 @@ def adaptive_drift(v, a, codes_s, box_size, cfg: SimConfig, k=None):
 def validity_horizon(v, a, drift, cfg: SimConfig) -> jax.Array:
     """The largest step count s such that no particle's bounded travel
     (v s dt + 1/2 a (s dt)^2, with headroom) exceeds its skin envelope;
-    the frozen band structure is exactly valid for s steps."""
+    the frozen band structure is exactly valid for s steps.
+
+    cfg.horizon_floor > 1 raises the lower clip: the fastest tail may
+    then run past its envelope for up to floor-1 steps — a bounded LOCAL
+    theta violation (config.py rationale; kilostep-gated)."""
     head = _HORIZON_HEADROOM
     aq = 0.5 * a * cfg.dt * cfg.dt * head
     bq = jnp.maximum(v * cfg.dt * head, 1e-9)
@@ -285,8 +289,9 @@ def validity_horizon(v, a, drift, cfg: SimConfig) -> jax.Array:
         2.0 * aq, 1e-12
     )
     s_i = jnp.where(aq > 1e-9, s_quad, s_lin)
+    lo = max(1, min(cfg.horizon_floor, cfg.rebuild_every))
     return jnp.clip(
-        jnp.floor(jnp.min(s_i)).astype(jnp.int32), 1, cfg.rebuild_every
+        jnp.floor(jnp.min(s_i)).astype(jnp.int32), lo, cfg.rebuild_every
     )
 
 
@@ -410,7 +415,11 @@ def _adaptive_parts(cfg: SimConfig):
             _flat(pos), _flat(vel), mass, _flat(acc), orig,
             jnp.int32(cfg.rebuild_every)
         )
-        afm0 = forces.apply_farmid(_v3(built[0]), built[5], built[7], cfg)
+        r0 = max(1, cfg.hold_farmid)
+        afm0 = forces.apply_farmid(
+            _v3(built[0] + built[1] * (0.5 * (r0 - 1) * cfg.dt)),
+            built[5], built[7], cfg,
+        )
         return (jnp.int32(0), s_valid, jnp.int32(0), jnp.int32(1),
                 k_env, _flat(afm0)) + built
 
@@ -450,13 +459,18 @@ def _adaptive_parts(cfg: SimConfig):
         left = jnp.where(trig, s_new, left)
         k_env = k_new
         pos = _v3(posf)
+        # midpoint refresh (second-order hold — see make_adaptive_runner):
+        # targets sampled at predicted mid-window positions; moment
+        # refreshes keep LIVE source positions
+        pmidf = posf + velf * (0.5 * (r - 1) * cfg.dt)
         frozen_fm = lambda args: _flat(
             forces.apply_farmid(_v3(args[0]), args[1], args[2], cfg)
         )
-        ops = (posf, supers, tables, mass) + rctx + (bands,)
+        ops = (pmidf, supers, tables, mass) + rctx + (bands, posf)
         if cfg.refresh_moments:
             moments_fm = lambda a: _flat(forces.refresh_farmid(
-                _v3(a[0]), a[3], a[4], a[5], a[6], a[7], a[8], cfg,
+                _v3(a[9]), a[3], a[4], a[5], a[6], a[7], a[8], cfg,
+                tgt_pos=_v3(a[0]),
             ))
             branch = jnp.where(
                 refresh, jnp.where(trig, 1, 2), 0
@@ -595,6 +609,16 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
             def inner_body(c):
                 j, afm_age, afm, pos, vel, acc = c
                 pos3 = to3(pos)
+                # MIDPOINT refresh (second-order hold, as in the fixed-K
+                # cycle runner): the held far+mid is sampled at the
+                # targets' predicted mid-window positions, so a rotating
+                # dense core sees a centered — not trailing — force over
+                # the R-step hold.  The first-order hold is the measured
+                # secular-heating mechanism once the hold spans rebuilds
+                # (BENCH_r04 drift 0.72% vs the 0.2% gate): at the hot
+                # state the structure rebuilds every 1-2 steps but the
+                # span-held afm stays up to R=8 steps stale.
+                p_mid = pos3 + to3(vel) * (0.5 * (r - 1) * cfg.dt)
                 # span: the carried afm stays valid across the rebuild
                 # (re-permuted), so only AGE triggers a refresh
                 refresh = (afm_age >= r) if span else (
@@ -602,18 +626,19 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
                 if cfg.refresh_moments:
                     # j == 0: the rebuild's own tables are live-exact;
                     # later refreshes recompute moments at the frozen cut
+                    # (sources at LIVE positions, targets at p_mid)
                     branch = jnp.where(
                         refresh, jnp.where(j == 0, 1, 2), 0
                     ).astype(jnp.int32)
                     afm3 = jax.lax.switch(
                         branch,
-                        [lambda p: to3(afm),
-                         lambda p: forces.apply_farmid(p, supers, tables,
+                        [lambda a: to3(afm),
+                         lambda a: forces.apply_farmid(a[1], supers, tables,
                                                        cfg),
-                         lambda p: forces.refresh_farmid(
-                             p, mass, rctx[0], rctx[1], rctx[2], rctx[3],
-                             bands, cfg)],
-                        pos3,
+                         lambda a: forces.refresh_farmid(
+                             a[0], mass, rctx[0], rctx[1], rctx[2], rctx[3],
+                             bands, cfg, tgt_pos=a[1])],
+                        (pos3, p_mid),
                     )
                 else:
                     afm3 = jax.lax.cond(
@@ -621,7 +646,7 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
                         lambda p: forces.apply_farmid(p, supers, tables,
                                                       cfg),
                         lambda p: to3(afm),
-                        pos3,
+                        p_mid,
                     )
                 afm_age = jnp.where(refresh, 1, afm_age + 1)
                 a = afm3 + forces.apply_near(pos3, pos3, mass, bands, cfg)

@@ -1407,6 +1407,7 @@ def build_bands(
 def refresh_farmid(
     pos_live: jax.Array, mass_s: jax.Array, codes_s: jax.Array,
     drift, box_lo, box_size, bands: CellBands, cfg: SimConfig,
+    tgt_pos: jax.Array | None = None,
 ) -> jax.Array:
     """MONOPOLE-REFRESHED far+mid evaluation at a FROZEN cut.
 
@@ -1426,7 +1427,13 @@ def refresh_farmid(
     longer bounds live member positions exactly — the same per-entity
     skin margins that keep the frozen CLASSIFICATION conservative cover
     exactly this drift (cell_band_lists docstring); the near band is
-    live on both sides and untouched."""
+    live on both sides and untouched.
+
+    `tgt_pos` (default: pos_live) lets the r-RESPA hold evaluate the
+    refreshed field at PREDICTED mid-window target positions (the
+    second-order midpoint hold, models/simulation.py) while the source
+    moments stay at live — never extrapolated — positions, so the
+    skin-covered conservativeness argument for the moments is untouched."""
     from nbody_tpu.ops.cells import build_source_cells
 
     cells_r = build_source_cells(
@@ -1437,7 +1444,9 @@ def refresh_farmid(
     supers_r = make_supers(cells_r)
     ss_r = make_supersupers(supers_r)
     tables_r = build_cell_tables(cells_r, supers_r, ss_r, bands)
-    return apply_farmid(pos_live, ss_r, tables_r, cfg)
+    if tgt_pos is None:
+        tgt_pos = pos_live
+    return apply_farmid(tgt_pos, ss_r, tables_r, cfg)
 
 
 def bh_forces_grouped(

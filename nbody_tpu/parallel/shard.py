@@ -148,21 +148,17 @@ def _stitch_cells(sc, g_cap: int, cap_s: int, d: int):
     )
 
 
-def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
-    """OWNER-COMPUTES cells + MY SLAB's classification.
+def _cells_sharded(codes_s, pos_s, mass_s, cfg: SimConfig, box_lo,
+                   box_size, drift=None):
+    """OWNER-COMPUTES global SourceCells from the sorted global arrays:
+    windowed per-shard build (ops/cells.build_source_cells_window —
+    O(N/D) compute) + the O(cells) summary stitch (_stitch_cells).
 
-    pos_s/mass_s/codes_s/drift are the GLOBAL sorted (padded) arrays;
-    returns (cells, supers, bands_slab, tables_slab, my_pos).
-
-    The adaptive-cut cell build runs over MY slab + a 4b halo window
-    only (ops/cells.build_source_cells_window — O(N/D) compute, vs the
-    round-3 replicated O(N) build), with the one unbounded cut carry
-    (the last max-depth run boundary) exchanged as a [D] scalar gather;
-    the per-shard owned cells are then stitched into the replicated
-    global SourceCells by an O(cells) summary all_gather
-    (_stitch_cells).  Per-chip classification work is statically T/D —
-    asserted below.
-    """
+    `box_lo`/`box_size` are passed in (NOT derived from pos_s) so a
+    moment refresh at a FROZEN cut can rebuild moments from LIVE
+    positions against the rebuild-time quantization box — the exact
+    sharded analog of forces.refresh_farmid's frozen-box contract.
+    Returns (cells, codes_own)."""
     from nbody_tpu.ops.cells import (
         build_source_cells_window, last_bmax_boundary,
     )
@@ -173,7 +169,6 @@ def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
     m = n_pad // d                        # slab particles
     b = cfg.force_tile
 
-    box_lo, box_size = bbox.bounding_cube(pos_s)
     halo = 4 * b
     cap_s = _shard_cell_cap(cfg, d)
     start = me * m
@@ -203,7 +198,31 @@ def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
     # config-5 invariant: per-chip cell-build output is OWNED cells only
     # (capacity cell_capacity*skew/D), never the global list
     assert shard_cells.first.shape[0] == cap_s
-    cells = _stitch_cells(shard_cells, cfg.cell_capacity, cap_s, d)
+    return _stitch_cells(shard_cells, cfg.cell_capacity, cap_s, d), codes_own
+
+
+def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
+    """OWNER-COMPUTES cells + MY SLAB's classification.
+
+    pos_s/mass_s/codes_s/drift are the GLOBAL sorted (padded) arrays;
+    returns (cells, supers, bands_slab, tables_slab, my_pos).
+
+    The adaptive-cut cell build runs over MY slab + a 4b halo window
+    only (_cells_sharded — O(N/D) compute, vs the round-3 replicated
+    O(N) build); per-chip classification work is statically T/D —
+    asserted below.
+    """
+    d = jax.lax.axis_size(AXIS)
+    me = jax.lax.axis_index(AXIS)
+    n_pad = pos_s.shape[0]
+    m = n_pad // d                        # slab particles
+    b = cfg.force_tile
+    start = me * m
+
+    box_lo, box_size = bbox.bounding_cube(pos_s)
+    cells, codes_own = _cells_sharded(
+        codes_s, pos_s, mass_s, cfg, box_lo, box_size, drift=drift
+    )
     supers = forces.make_supers(cells)
     ss = forces.make_supersupers(supers)
 
@@ -267,6 +286,97 @@ def _near_reach_ok(bands, m, h: int):
     return jax.lax.psum(n_out, AXIS) == 0
 
 
+_I32_INF = jnp.int32(2**31 - 1)
+
+
+def _near_fetch_plan(bands, m: int, h: int, cfg: SimConfig):
+    """Per-cycle (frozen) plan for the window-granular near exchange.
+
+    The disk galaxy's dense core sits at the cloud centroid — the seam
+    of all eight top-level Morton octants — so core targets' near
+    windows reference rank-DISTANT rows that no contiguous halo can
+    cover (test_shard.test_near_halo_reach_predicate_detects_seams
+    measured reach ~3.6 slabs of 8).  Instead of falling back to the
+    O(N) live-position all_gather, each chip lists the DISTINCT
+    out-of-halo SPAN_ALIGN-row windows its frozen band structure
+    references (win_first is frozen per cycle) and fetches exactly
+    those rows per step via a fixed-size all_to_all (_fetch_windows).
+
+    Returns (ok, starts_srv, wf_remap):
+      ok        — replicated predicate: every chip's distinct
+                  out-of-halo window count fits cfg.near_fetch_cap
+                  (the all_gather fallback otherwise);
+      starts_srv— [F] my sorted distinct out-of-halo window starts
+                  (global sorted rows; unused slots point at my own
+                  slab so served rows are always in range), or None
+                  when the cap is 0 (halo-only mode);
+      wf_remap  — [T_loc, win_cap] win_first rebased into the per-step
+                  source array concat([halo_ext(p), fetched windows]):
+                  in-halo windows -> wf - (me*m - h), fetched windows
+                  -> m + 2h + SPAN_ALIGN * slot.
+    """
+    me = jax.lax.axis_index(AXIS)
+    lane = jnp.arange(bands.win_first.shape[1], dtype=jnp.int32)[None, :]
+    live = lane < bands.win_cnt[:, None]
+    wf = bands.win_first
+    base = me * m - h
+    in_halo = (wf >= base) & (wf + forces.SPAN_ALIGN <= (me + 1) * m + h)
+    remap_halo = jnp.maximum(wf - base, 0)
+    f_cap = cfg.near_fetch_cap
+    if f_cap == 0:
+        n_out = jnp.sum((live & ~in_halo).astype(jnp.int32))
+        ok = jax.lax.psum(n_out, AXIS) == 0
+        return ok, None, remap_halo
+
+    # distinct out-of-halo starts, ascending, first f_cap kept
+    flat = jnp.where(live & ~in_halo, wf, _I32_INF).reshape(-1)
+    s = jnp.sort(flat)
+    uniq = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]]
+    ) & (s != _I32_INF)
+    pos = jnp.cumsum(uniq.astype(jnp.int32)) - 1
+    count = jnp.sum(uniq.astype(jnp.int32))
+    buf = jnp.full((f_cap + 1,), _I32_INF, jnp.int32)
+    idx = jnp.where(uniq & (pos < f_cap), pos, f_cap)   # overflow -> slot F
+    starts = buf.at[idx].set(jnp.where(uniq, s, _I32_INF),
+                             mode="drop")[:f_cap]
+    # every chip must agree (the cond below the rebuild is replicated)
+    ok = jax.lax.psum((count > f_cap).astype(jnp.int32), AXIS) == 0
+    # remap out-of-halo windows into the fetch region (exact match by
+    # construction whenever ok holds; clipped garbage otherwise — unused
+    # because the fallback fires)
+    fi = jnp.clip(jnp.searchsorted(starts, wf).astype(jnp.int32),
+                  0, f_cap - 1)
+    remap = jnp.where(in_halo | ~live, remap_halo,
+                      m + 2 * h + forces.SPAN_ALIGN * fi)
+    # unused request slots point at my own slab (always-valid rows)
+    starts_srv = jnp.where(starts == _I32_INF, me * m, starts)
+    return ok, starts_srv, remap
+
+
+def _fetch_windows(x, reqs_g, m: int):
+    """Serve + fetch one round of window rows: `reqs_g` [D, F] holds every
+    chip's requested window starts (global sorted rows, SPAN_ALIGN-
+    aligned).  Each chip extracts, for every (peer, slot), the overlap of
+    the requested 128-row window with its own slab (zeros elsewhere — a
+    window may straddle a slab boundary when m % SPAN_ALIGN != 0), then a
+    fixed-size all_to_all routes block i to chip i and the per-chip
+    contributions are summed (each global row has exactly one owner).
+    Returns [F * SPAN_ALIGN, ...]: the rows of MY requested windows.
+    Wire cost: D * F * SPAN_ALIGN rows each way, independent of N."""
+    me = jax.lax.axis_index(AXIS)
+    span = forces.SPAN_ALIGN
+    rows = reqs_g[:, :, None] + jnp.arange(span, dtype=jnp.int32)  # [D,F,S]
+    loc = rows - me * m
+    valid = (loc >= 0) & (loc < m)
+    g = x[jnp.clip(loc, 0, m - 1)]
+    mask = valid if x.ndim == 1 else valid[..., None]
+    g = jnp.where(mask, g, 0)
+    recv = jax.lax.all_to_all(g, AXIS, split_axis=0, concat_axis=0,
+                              tiled=True)                      # [D, F, S, ...]
+    return jnp.sum(recv, axis=0).reshape((-1,) + x.shape[1:])
+
+
 def _reslab(perm, arrs, h: int):
     """Re-slab the slab-resident `arrs` (each [m, ...] rows of the OLD
     global sorted order) into the NEW order: returns rows
@@ -310,19 +420,26 @@ def _reslab(perm, arrs, h: int):
 
 
 def _rebuild_sharded(pos, vel, mass, acc, orig, cfg: SimConfig, k: int,
-                     adaptive: bool, k_env=None):
+                     adaptive: bool, k_env=None, afm=None):
     """One sharded band rebuild.  Inputs are slab rows of the current
     global sorted order; returns the re-slabbed state (new sorted order),
     the frozen band structures for MY slab, the per-cycle near-exchange
     context (replicated sorted masses for the fallback, the fixed-width
-    mass halo, the reach predicate), and the (validity horizon, next
+    mass halo, the reach predicate), the (validity horizon, next
     envelope horizon) pair (adaptive; `k_env` sizes this rebuild's skins
     — the single-chip runner's self-tuned envelope,
-    models/simulation.make_adaptive_runner) or (k, k).
+    models/simulation.make_adaptive_runner) or (k, k), the re-slabbed
+    held far+mid acceleration (`afm` — rides `_reslab` exactly like
+    vel/acc when cfg.farmid_span_rebuilds carries it across rebuilds;
+    None in, None out), and the frozen refresh context rctx = (global
+    sorted codes, drift bounds, box lo, box size) that
+    _refresh_farmid_slab needs when cfg.refresh_moments recomputes
+    moments at this build's frozen cut (None unless that flag is set —
+    it is replicated O(N) carry bytes).
 
     Wire traffic: all_gather of pos (12 B/particle), mass (4 B) and
     (|v|, |a|) (8 B) — never the full 64 B/particle state — plus the
-    fixed 2h-row halo exchange of (vel, acc, orig) in `_reslab`.
+    fixed 2h-row halo exchange of (vel, acc, orig[, afm]) in `_reslab`.
     """
     d = jax.lax.axis_size(AXIS)
     me = jax.lax.axis_index(AXIS)
@@ -334,7 +451,7 @@ def _rebuild_sharded(pos, vel, mass, acc, orig, cfg: SimConfig, k: int,
         [jnp.sqrt(jnp.sum(vel * vel, axis=1)),
          jnp.sqrt(jnp.sum(acc * acc, axis=1))], axis=1,
     ))
-    codes_s, perm, _, box_size = sort_by_morton(pos_g, cfg)
+    codes_s, perm, box_lo, box_size = sort_by_morton(pos_g, cfg)
     pos_s = pos_g[perm]
     mass_s = mass_g[perm]
     v = vam_g[perm, 0]
@@ -350,10 +467,13 @@ def _rebuild_sharded(pos, vel, mass, acc, orig, cfg: SimConfig, k: int,
         s_valid = jnp.int32(k)
         k_next = jnp.int32(k)
 
-    # re-slab the heavy per-particle rows (vel, acc, orig) locally
+    # re-slab the heavy per-particle rows (vel, acc, orig[, afm]) locally
     h = max(cfg.force_tile, m // 4)
     h = min(h, m)
-    (my_vel, my_acc, my_orig), _ = _reslab(perm, (vel, acc, orig), h)
+    arrs = (vel, acc, orig) if afm is None else (vel, acc, orig, afm)
+    reslabbed, _ = _reslab(perm, arrs, h)
+    my_vel, my_acc, my_orig = reslabbed[:3]
+    my_afm = reslabbed[3] if afm is not None else None
 
     cells, supers, bands, tables, my_pos = _classify_slab(
         pos_s, mass_s, codes_s, cfg, drift=drift
@@ -374,13 +494,25 @@ def _rebuild_sharded(pos, vel, mass, acc, orig, cfg: SimConfig, k: int,
     # fixed-width mass halo + the replicated reach predicate selecting
     # the ppermute fast path over the O(N) live-position all_gather
     h_near = _near_halo_rows(m, cfg)
-    mass_ext = _halo_ext(my_mass, h_near)
-    near_fast = _near_reach_ok(bands, m, h_near)
+    fetch_ok, starts_srv, wf_remap = _near_fetch_plan(bands, m, h_near, cfg)
+    mass_src = _halo_ext(my_mass, h_near)
+    if starts_srv is None:
+        reqs_g = None
+    else:
+        # every chip's request list, frozen for the cycle; the frozen
+        # mass rows of the fetched windows ride along once
+        reqs_g = jax.lax.all_gather(starts_srv, AXIS)          # [D, F]
+        mass_src = jnp.concatenate(
+            [mass_src, _fetch_windows(my_mass, reqs_g, m)])
+    rctx = ((codes_s, drift, box_lo, box_size)
+            if cfg.refresh_moments else None)
     return (
         (my_pos, my_vel, my_mass, my_acc, my_orig),
         (supers, bands, tables),
-        (mass_s, mass_ext, near_fast),
+        (mass_s, mass_src, fetch_ok, reqs_g, wf_remap),
         (s_valid, k_next),
+        my_afm,
+        rctx,
     )
 
 
@@ -458,24 +590,46 @@ def _farmid_slab(p_mid, supers, tables, cfg):
     return forces.apply_farmid(p_mid, supers, tables, cfg)
 
 
+def _refresh_farmid_slab(p_mid, my_pos_live, mass_s, rctx, bands, cfg):
+    """Sharded moment refresh (cfg.refresh_moments twin of
+    forces.refresh_farmid): recompute every source moment from LIVE
+    positions over the FROZEN cut (owner-computes windowed cell build
+    against the rebuild-time quantization box + O(cells) stitch),
+    regather MY slab's tables against the frozen classification, and
+    evaluate far+mid at the midpoint target positions.
+
+    Wire cost per refresh: one live-position all_gather (12 B/particle —
+    the same traffic one slow-path near step pays) + the O(cells)
+    stitch; compute is O(N/D) cells + O(T/D) table gathers."""
+    codes_s, drift, box_lo, box_size = rctx
+    pos_live = _gather(my_pos_live)
+    cells_r, _ = _cells_sharded(
+        codes_s, pos_live, mass_s, cfg, box_lo, box_size, drift=drift
+    )
+    supers_r = forces.make_supers(cells_r)
+    ss_r = forces.make_supersupers(supers_r)
+    tables_r = forces.build_cell_tables(cells_r, supers_r, ss_r, bands)
+    return forces.apply_farmid(p_mid, ss_r, tables_r, cfg)
+
+
 def _near_step(p, v_, my_mass, glob, bands, afm, cfg):
     """One integration step: slab-local far+mid (held, `afm`) + live
     near band.  Per-step communication is a FIXED 2h-row position
-    ppermute (near windows are Morton-local to the slab) when the
-    cycle's reach predicate holds — O(N/near_halo_div), not O(N) — with
-    the live-position all_gather as the replicated fallback."""
-    mass_s, mass_ext, near_fast = glob
+    ppermute (near windows are mostly Morton-local to the slab) plus a
+    fixed-size all_to_all window fetch for the rank-scattered octant-
+    seam windows (_near_fetch_plan/_fetch_windows) when the cycle's
+    fetch plan holds — O(N/near_halo_div + fetch_cap*128), not O(N) —
+    with the live-position all_gather as the replicated fallback."""
+    mass_s, mass_src, near_fast, reqs_g, wf_remap = glob
     m = p.shape[0]
     h = _near_halo_rows(m, cfg)
-    me = jax.lax.axis_index(AXIS)
-    base = me * m - h
 
     def fast(p):
-        p_ext = _halo_ext(p, h)
-        bands_l = bands._replace(
-            win_first=jnp.maximum(bands.win_first - base, 0)
-        )
-        return forces.apply_near(p, p_ext, mass_ext, bands_l, cfg)
+        p_src = _halo_ext(p, h)
+        if reqs_g is not None:
+            p_src = jnp.concatenate([p_src, _fetch_windows(p, reqs_g, m)])
+        bands_l = bands._replace(win_first=wf_remap)
+        return forces.apply_near(p, p_src, mass_src, bands_l, cfg)
 
     def slow(p):
         return forces.apply_near(p, _gather(p), mass_s, bands, cfg)
@@ -500,7 +654,7 @@ def _sharded_cycles_body(pos, vel, mass, acc, orig, cfg: SimConfig,
 
     def cycle(carry, _):
         pos, vel, mass, acc, orig = carry
-        (slab, (supers, bands, tables), glob, _sk) = (
+        (slab, (supers, bands, tables), glob, _sk, _afm, _rctx) = (
             _rebuild_sharded(pos, vel, mass, acc, orig, cfg, k,
                              adaptive=False)
         )
@@ -545,55 +699,93 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
     computed from the gathered (|v|, |a|) arrays, so every chip counts
     down in lockstep), graceful degradation to per-step rebuilds in the
     hot core, and the far+mid r-RESPA hold refreshed on rebuild or every
-    cfg.hold_farmid steps."""
-    if cfg.farmid_span_rebuilds:
-        # the sharded twin implements only the in-cycle hold; silently
-        # ignoring the flag would diverge from make_adaptive_runner's
-        # refresh schedule and break the equivalence contract
-        raise ValueError(
-            "farmid_span_rebuilds is single-chip only; run the sharded "
-            "adaptive runner with it off (in-cycle hold)")
+    cfg.hold_farmid steps.
+
+    The SHIPPING integrator options are supported exactly as in the
+    single-chip twin: with cfg.farmid_span_rebuilds the held far+mid
+    rides the rebuild's _reslab (so only AGE refreshes it -- the hold
+    engages even at horizon-1 hot states), and with cfg.refresh_moments
+    an age refresh recomputes every source moment from live positions at
+    the frozen cut (_refresh_farmid_slab)."""
     r = max(1, cfg.hold_farmid)
+    span = cfg.farmid_span_rebuilds
+    moments = cfg.refresh_moments
 
     built0 = _rebuild_sharded(pos, vel, mass, acc, orig, cfg,
                               cfg.rebuild_every, adaptive=True)
-    slab0, frozen0, glob0, (s_valid0, k_env0) = built0
-    afm0 = _farmid_slab(slab0[0], frozen0[0], frozen0[2], cfg)
-    carry0 = (jnp.int32(0), s_valid0, jnp.int32(0), jnp.int32(1), k_env0,
-              afm0, slab0, frozen0, glob0)
+    slab0, frozen0, glob0, (s_valid0, k_env0), _a0, rctx0 = built0
+    if span:
+        # single-chip twin (make_adaptive_runner): the held afm starts
+        # at zero with age r, so the FIRST step refreshes it
+        afm0 = jnp.zeros_like(slab0[0])
+        age0 = jnp.int32(r)
+    else:
+        # midpoint evaluation (second-order hold -- simulation.py twin)
+        afm0 = _farmid_slab(slab0[0] + slab0[1] * (0.5 * (r - 1) * cfg.dt),
+                            frozen0[0], frozen0[2], cfg)
+        age0 = jnp.int32(0)
+    carry0 = (jnp.int32(0), s_valid0, age0, jnp.int32(1), k_env0,
+              afm0, slab0, frozen0, glob0, rctx0)
 
     def cond_fn(s):
         return s[0] < n_steps
 
     def body(s):
-        i, left, afm_age, n_rb, k_env, afm, slab, frozen, glob = s
+        i, left, afm_age, n_rb, k_env, afm, slab, frozen, glob, rctx = s
 
         trig = left <= 0
 
         def do_rebuild(args):
-            slab, frozen, glob, k_env = args
-            new_slab, new_frozen, new_glob, sk = _rebuild_sharded(
-                *slab, cfg, cfg.rebuild_every, adaptive=True, k_env=k_env
+            slab, frozen, glob, k_env, afm, rctx = args
+            new_slab, new_frozen, new_glob, sk, new_afm, new_rctx = (
+                _rebuild_sharded(*slab, cfg, cfg.rebuild_every,
+                                 adaptive=True, k_env=k_env,
+                                 afm=afm if span else None)
             )
-            return (new_slab, new_frozen, new_glob), sk
+            if not span:
+                new_afm = afm   # dead rows: trig forces a refresh below
+            return (new_slab, new_frozen, new_glob, new_afm, new_rctx), sk
 
-        (slab, frozen, glob), (s_new, k_env) = jax.lax.cond(
-            trig, do_rebuild,
-            lambda c: (c[:3], (jnp.int32(0), c[3])),
-            (slab, frozen, glob, k_env),
+        def no_rebuild(args):
+            slab, frozen, glob, k_env, afm, rctx = args
+            return (slab, frozen, glob, afm, rctx), (jnp.int32(0), k_env)
+
+        (slab, frozen, glob, afm, rctx), (s_new, k_env) = jax.lax.cond(
+            trig, do_rebuild, no_rebuild,
+            (slab, frozen, glob, k_env, afm, rctx),
         )
         left = jnp.where(trig, s_new, left)
 
         my_pos, my_vel, my_mass, my_acc, my_orig = slab
         supers, bands, tables = frozen
 
-        refresh = trig | (afm_age >= r)
-        afm = jax.lax.cond(
-            refresh,
-            lambda args: _farmid_slab(args[0], args[1], args[2], cfg),
-            lambda args: afm,
-            (my_pos, supers, tables),
-        )
+        # span: the carried afm stays valid across rebuilds (re-slabbed
+        # by _reslab), so only AGE triggers a refresh -- simulation.py
+        refresh = (afm_age >= r) if span else (trig | (afm_age >= r))
+        # midpoint evaluation (second-order hold -- models/simulation.py)
+        p_mid = my_pos + my_vel * (0.5 * (r - 1) * cfg.dt)
+        if moments:
+            # trig: this rebuild's own tables are live-exact; later
+            # refreshes recompute moments at the frozen cut (sources at
+            # LIVE positions, targets at p_mid)
+            branch = jnp.where(
+                refresh, jnp.where(trig, 1, 2), 0
+            ).astype(jnp.int32)
+            afm = jax.lax.switch(
+                branch,
+                [lambda a: afm,
+                 lambda a: _farmid_slab(a, supers, tables, cfg),
+                 lambda a: _refresh_farmid_slab(a, my_pos, glob[0], rctx,
+                                                bands, cfg)],
+                p_mid,
+            )
+        else:
+            afm = jax.lax.cond(
+                refresh,
+                lambda args: _farmid_slab(args[0], args[1], args[2], cfg),
+                lambda args: afm,
+                (p_mid, supers, tables),
+            )
         afm_age = jnp.where(refresh, 1, afm_age + 1)
 
         p2, v2, a2 = _near_step(
@@ -601,7 +793,7 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
         )
         slab = (p2, v2, my_mass, a2, my_orig)
         return (i + 1, left - 1, afm_age, n_rb + trig.astype(jnp.int32),
-                k_env, afm, slab, frozen, glob)
+                k_env, afm, slab, frozen, glob, rctx)
 
     out = jax.lax.while_loop(cond_fn, body, carry0)
     my_pos, my_vel, my_mass, my_acc, my_orig = out[6]

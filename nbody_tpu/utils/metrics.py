@@ -70,6 +70,65 @@ def energy_drift(e0: float, e1: float) -> float:
     return abs(e1 - e0) / max(abs(e0), 1e-30)
 
 
+def drift_protocol(sim, state: ParticleState, n_steps: int = 1024,
+                   chunk: int = 32, log=None) -> Dict:
+    """THE canonical kilostep physics measurement (BASELINE.json
+    criterion; the reference workload is 1000 EVOLVING frames,
+    nbody_v5_bench.cu:353-366).
+
+    Measures E0 = KE + softened PE at entry, advances EXACTLY
+    ceil(n_steps/chunk)*chunk steps in `chunk`-sized Simulation.run_scan
+    calls (ONE compiled scan shape — no protocol-dependent chunking),
+    measures E1, and times both the whole evolution and the final chunk.
+    Shared by bench.py and tools/_prof_kilostep.py so the driver artifact
+    and the gate tool can never measure different protocols again
+    (round-4 verdict: an 896-step tool run and a 1024-step driver run
+    reported 0.094% vs 0.72% for "the same" config).
+
+    `log(steps_done, seconds, state)` is called after each chunk when
+    given (host sync per chunk either way — run_scan chunks already sync).
+
+    Returns {drift, drift_steps, e0, e1, avg_steps_per_sec,
+    hot_steps_per_sec, seconds, state}.
+    """
+    import time
+
+    from nbody_tpu.utils.profiling import _sync
+
+    reps = -(-n_steps // chunk)
+    total = reps * chunk
+    e0 = float(total_energy(state, sim.cfg))
+    _sync(state)
+    t_log = 0.0        # callback overhead, excluded from the rates
+    t_all0 = time.perf_counter()
+    t_hot0 = t_all0
+    t_log_at_hot = 0.0
+    for i in range(reps):
+        if i == reps - 1:
+            _sync(state)
+            t_hot0 = time.perf_counter()
+            t_log_at_hot = t_log
+        state = sim.run_scan(state, chunk)
+        if log is not None:
+            _sync(state)
+            tl0 = time.perf_counter()
+            log(chunk * (i + 1), tl0 - t_all0 - t_log, state)
+            t_log += time.perf_counter() - tl0
+    _sync(state)
+    t_end = time.perf_counter()
+    e1 = float(total_energy(state, sim.cfg))
+    return {
+        "drift": energy_drift(e0, e1),
+        "drift_steps": total,
+        "e0": e0,
+        "e1": e1,
+        "avg_steps_per_sec": total / (t_end - t_all0 - t_log),
+        "hot_steps_per_sec": chunk / (t_end - t_hot0 - (t_log - t_log_at_hot)),
+        "seconds": t_end - t_all0 - t_log,
+        "state": state,
+    }
+
+
 def cell_count(state: ParticleState, cfg: SimConfig) -> jax.Array:
     """Adaptive source-cell count — the cheap jittable analog of the
     legacy binaries' per-step "Nodes: %d" telemetry (strings in

@@ -642,3 +642,48 @@ def test_refresh_farmid_identity_at_unchanged_positions():
     blo, bsz = bbox.bounding_cube(ps)
     got = forces.refresh_farmid(ps, ms, cs, None, blo, bsz, bands, cfg)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_refresh_farmid_tracks_moved_positions():
+    """The actual reuse scenario (advisor r4): positions DRIFT within
+    their skin envelopes after the build, then a moment refresh
+    recomputes the source moments from the LIVE positions at the frozen
+    cut.  The refreshed far+mid plus the live near band must still be a
+    conservative-MAC force for the moved positions (same theta-level
+    error bound as a fresh build), and the refresh must actually track
+    the motion — measurably different from re-evaluating the STALE
+    rebuild-time tables.  (The Pallas twins of the same sweeps are
+    exercised on real hardware by bench.py's two-geometry selfcheck.)"""
+    pos, mass = _cloud(6000, seed=12)
+    n = pos.shape[0]
+    cfg = SimConfig(n=6000, theta=0.5, force_tile=256, use_pallas=False,
+                    check_overflow=False)
+    from nbody_tpu.models.simulation import sort_by_morton
+
+    sc, perm, lo, size = sort_by_morton(pos, cfg)
+    ps, ms, cs = forces.pad_sorted(pos[perm], mass[perm], sc, cfg.force_tile)
+    # skin envelopes sized to cover the move below (the runner's contract:
+    # no particle leaves its envelope between rebuild and refresh)
+    step = 2.0
+    drift = jnp.full((ps.shape[0],), 4.0 * step, jnp.float32)
+    cells, ss, bands, tables = forces.build_bands(ps, ms, cs, cfg,
+                                                  drift=drift)
+    rng = np.random.default_rng(5)
+    move = jnp.asarray(
+        rng.uniform(-step, step, size=ps.shape).astype(np.float32))
+    ps2 = ps + move
+
+    blo, bsz = bbox.bounding_cube(ps)
+    afm = forces.refresh_farmid(ps2, ms, cs, drift, blo, bsz, bands, cfg)
+    stale = forces.apply_farmid(ps2, ss, tables, cfg)
+    assert float(jnp.max(jnp.abs(afm - stale))) > 0.0, (
+        "a refresh after real motion must differ from the stale tables"
+    )
+
+    acc = np.asarray(afm + forces.apply_near(ps2, ps2, ms, bands, cfg))[:n]
+    ref = _numpy_direct(np.asarray(ps2)[:n], np.asarray(ms)[:n], cfg.g,
+                        forces.soft_term(cfg))
+    err = np.linalg.norm(acc - ref, axis=1) / (
+        np.linalg.norm(ref, axis=1) + 1e-9)
+    assert float(np.median(err)) < 0.01
+    assert float(np.max(err)) < 0.2

@@ -161,6 +161,46 @@ def test_sharded_adaptive_runner_matches_single_device(eight_devices, n_dev):
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("span,moments", [(True, False), (True, True),
+                                          (False, True)])
+def test_sharded_adaptive_shipping_integrator_matches(eight_devices, span,
+                                                      moments):
+    """The SHIPPING integrator options (BENCH_r05 config) on the sharded
+    twin: farmid_span_rebuilds (the held far+mid rides _reslab across
+    rebuilds, refreshed by AGE only) and refresh_moments (age refreshes
+    recompute source moments at the frozen cut — _refresh_farmid_slab)
+    must reproduce make_adaptive_runner's trajectory AND rebuild
+    schedule.  Round-4 verdict item 5: config-5 must run the same
+    physics the headline claims."""
+    from nbody_tpu.models.simulation import make_adaptive_runner
+    from nbody_tpu.parallel.shard import make_sharded_adaptive_runner
+
+    n_steps = 10
+    cfg = SimConfig(n=64 * 2 * 4, theta=0.5, force_tile=64,
+                    use_pallas=False, ic_rng="jax", rebuild_every=4,
+                    adaptive_rebuild=True, hold_farmid=2,
+                    farmid_span_rebuilds=span, refresh_moments=moments)
+    state = disk_galaxy_jax(cfg.n, seed=5, g=cfg.g)
+
+    want, want_rb = jax.jit(
+        make_adaptive_runner(cfg, n_steps, return_stats=True)
+    )(state)
+
+    mesh = make_mesh(2)
+    run = make_sharded_adaptive_runner(cfg, mesh, n_steps, return_stats=True)
+    got, got_rb = run(shard_state(state, mesh))
+    jax.block_until_ready(got)
+
+    assert int(got_rb) == int(want_rb), (
+        f"rebuild schedules diverged: sharded {int(got_rb)} vs "
+        f"single-chip {int(want_rb)}"
+    )
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(want.pos),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(want.vel),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_sharded_adaptive_overflow_feedback_matches(eight_devices):
     """Overflow-triggered k_env halving: with band caps too small for the
     skinned demand, the envelope feedback must fire IDENTICALLY on both
@@ -199,13 +239,16 @@ def test_sharded_adaptive_overflow_feedback_matches(eight_devices):
                                rtol=1e-4, atol=1e-3)
 
 
-def test_near_halo_reach_predicate_detects_seams(eight_devices):
+def test_near_fetch_path_fires_on_octant_seam_state(eight_devices):
     """The dense disk-galaxy core sits at the cloud centroid = the
     junction of all eight top-level Morton octants, so core targets'
     near windows span rank-DISTANT rows (measured reach ~3.6 slabs of 8
-    at n=8k) — a contiguous halo cannot cover them and the replicated
-    reach predicate must say so, routing the near band to the all_gather
-    fallback instead of silently reading wrong halo rows."""
+    at n=8k) — a contiguous halo cannot cover them (the round-3 reach
+    predicate must say False) — but the round-5 WINDOW-GRANULAR fetch
+    plan (_near_fetch_plan + _fetch_windows) must cover exactly those
+    windows with a fixed-size all_to_all: fetch_ok True ON THE
+    PRODUCTION STATE, and the fetch-path near band bitwise-equal to the
+    O(N) all_gather fallback (the fast path is a pure re-indexing)."""
     import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -229,18 +272,36 @@ def test_near_halo_reach_predicate_detects_seams(eight_devices):
         cells, ssf, bands, tables, my_pos = sh._classify_slab(ps, ms, cs, cfg)
         m = my_pos.shape[0]
         h = sh._near_halo_rows(m, cfg)
-        ok = sh._near_reach_ok(bands, m, h)
-        return (jnp.broadcast_to(ok, (m,)),)
+        halo_ok = sh._near_reach_ok(bands, m, h)
+        fetch_ok, starts_srv, wf_remap = sh._near_fetch_plan(bands, m, h, cfg)
+        # fast path: halo ppermute + window all_to_all against the
+        # frozen remap; slow path: the O(N) live-position all_gather
+        me = jax.lax.axis_index(sh.AXIS)
+        my_mass = jax.lax.dynamic_slice_in_dim(ms, me * m, m, 0)
+        reqs_g = jax.lax.all_gather(starts_srv, sh.AXIS)
+        p_src = jnp.concatenate(
+            [sh._halo_ext(my_pos, h), sh._fetch_windows(my_pos, reqs_g, m)])
+        m_src = jnp.concatenate(
+            [sh._halo_ext(my_mass, h), sh._fetch_windows(my_mass, reqs_g, m)])
+        a_fast = forces.apply_near(
+            my_pos, p_src, m_src, bands._replace(win_first=wf_remap), cfg)
+        a_slow = forces.apply_near(my_pos, ps, ms, bands, cfg)
+        return (jnp.broadcast_to(halo_ok, (m,)),
+                jnp.broadcast_to(fetch_ok, (m,)), a_fast, a_slow)
 
     fn = shard_map(
         body, mesh=mesh, in_specs=(P(sh.AXIS), P(sh.AXIS)),
-        out_specs=(P(sh.AXIS),), check_vma=False,
+        out_specs=(P(sh.AXIS),) * 4, check_vma=False,
     )
     sharded = shard_state(state, mesh)
-    (ok,) = jax.jit(fn)(sharded.pos, sharded.mass)
-    assert not bool(np.asarray(ok)[0]), (
+    halo_ok, fetch_ok, a_fast, a_slow = jax.jit(fn)(sharded.pos, sharded.mass)
+    assert not bool(np.asarray(halo_ok)[0]), (
         "octant-seam windows should exceed any contiguous halo here"
     )
+    assert bool(np.asarray(fetch_ok)[0]), (
+        "the window fetch plan must cover the production seam state"
+    )
+    np.testing.assert_array_equal(np.asarray(a_fast), np.asarray(a_slow))
 
 
 def test_near_halo_fast_path_matches_gather(eight_devices):
