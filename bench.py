@@ -64,7 +64,11 @@ def band_flops(cfg, bands, n_pad, s_used):
         + int(jnp.sum(bands.mid_cnt)) + int(jnp.sum(bands.cmid_cnt))
     ) + int(jnp.sum(bands.near_cnt))
     useful = 18 * (n_pad * s_used + useful_rows * cfg.force_tile) + useful_near
-    return far + mid + near, useful
+    # near-kernel lane occupancy: live mask bits over executed window
+    # lanes (KSEG segment rounding included) — the wasted-lane share of
+    # the useful-flop gap, reported so tuning has a number to move
+    occ = live_lanes / max(segs * KSEG * WSPAN, 1)
+    return far + mid + near, useful, occ
 
 
 def selfcheck(on_tpu: bool):
@@ -254,10 +258,11 @@ def main():
         )(ps, ms, cs)
         s_used = int(supers.n_supers)
         step_s = 1.0 / steps_per_sec
-        fl, fl_useful = band_flops(cfg, bands, ps.shape[0], s_used)
+        fl, fl_useful, near_occ = band_flops(cfg, bands, ps.shape[0], s_used)
         extra["gflops"] = round(fl / step_s / 1e9, 1)
         extra["gflops_useful"] = round(fl_useful / step_s / 1e9, 1)
         extra["mfu"] = round(fl / step_s / VPU_PEAK_FP32, 4)
+        extra["near_lane_occupancy"] = round(near_occ, 4)
         import jax.numpy as jnp
 
         # band-cap overflow is GRACEFUL (dropped refinement keeps its

@@ -166,6 +166,19 @@ class SimConfig:
                                    # the sharded twins keep the in-cycle
                                    # hold, so equivalence tests must run
                                    # with this off.
+    span_age_mult: int = 0         # with farmid_span_rebuilds: tie the
+                                   # held far+mid refresh age to the
+                                   # validity horizon — effective hold
+                                   # R_eff = clip(mult * s_valid, 1, R)
+                                   # recomputed at each rebuild.  At the
+                                   # hot state (horizon 1-2) the hold
+                                   # shortens to 2-4 steps, restoring
+                                   # near-per-rebuild far+mid freshness
+                                   # (round-3 physics) while calm epochs
+                                   # keep the full R-step hold; 0 = off
+                                   # (fixed R).  The kilostep gate
+                                   # decides between this and the
+                                   # quadratic-midpoint hold
     refresh_moments: bool = False  # at each far+mid refresh, RECOMPUTE
                                    # all source moments from live
                                    # positions at the frozen cut and

@@ -184,8 +184,15 @@ def make_cycle_runner(cfg: SimConfig, n_cycles: int, k: int):
             # midpoint evaluation: the held far+mid force is sampled at
             # the targets' predicted mid-window positions, making the
             # hold second-order in R (centered) instead of first-order —
-            # measured to cut the kilostep energy drift substantially
-            p_mid = p0 + v0 * (0.5 * (r - 1) * cfg.dt)
+            # measured to cut the kilostep energy drift substantially.
+            # The prediction is QUADRATIC (curvature-corrected by the
+            # previous step's acceleration): a ballistic p + v*tau
+            # overshoots by 0.5*a*tau^2, which in the contracted core is
+            # several cell widths at R=8 (the measured r5 kilostep
+            # failure mode: ballistic-midpoint drift 1.24% vs the 0.2%
+            # gate) — the a-term is exactly the missing curvature.
+            tau = 0.5 * (r - 1) * cfg.dt
+            p_mid = p0 + v0 * tau + a0 * (0.5 * tau * tau)
             afm = forces.apply_farmid(p_mid, supers, tables, cfg)
 
             def inner(c3, _):
@@ -407,7 +414,11 @@ def _adaptive_parts(cfg: SimConfig):
     boundaries."""
     r = max(1, cfg.hold_farmid)
     span = cfg.farmid_span_rebuilds
+    span_dyn = span and cfg.span_age_mult > 0
     rebuild = _adaptive_rebuild_fn(cfg)
+
+    def _r_eff_of(s_valid):
+        return jnp.clip(cfg.span_age_mult * s_valid, 1, r).astype(jnp.int32)
 
     def init_carry(state: ParticleState):
         pos, vel, mass, acc, orig = _pad_cycle_state(state, cfg.force_tile)
@@ -416,17 +427,26 @@ def _adaptive_parts(cfg: SimConfig):
             jnp.int32(cfg.rebuild_every)
         )
         r0 = max(1, cfg.hold_farmid)
+        if span_dyn:
+            tau0 = 0.5 * (_r_eff_of(s_valid).astype(jnp.float32)
+                          - 1.0) * cfg.dt
+        else:
+            tau0 = 0.5 * (r0 - 1) * cfg.dt
         afm0 = forces.apply_farmid(
-            _v3(built[0] + built[1] * (0.5 * (r0 - 1) * cfg.dt)),
+            _v3(built[0] + built[1] * tau0 + built[3] * (0.5 * tau0 * tau0)),
             built[5], built[7], cfg,
         )
-        return (jnp.int32(0), s_valid, jnp.int32(0), jnp.int32(1),
-                k_env, _flat(afm0)) + built
+        carry = (jnp.int32(0), s_valid, jnp.int32(0), jnp.int32(1),
+                 k_env, _flat(afm0)) + built
+        if span_dyn:
+            carry = carry + (_r_eff_of(s_valid),)
+        return carry
 
     def body(s):
         i, left, afm_age, n_rb, k_env, afmf = s[:6]
         (posf, velf, mass, accf, orig, supers, bands, tables,
-         rctx) = s[6:]
+         rctx) = s[6:15]
+        r_eff = s[15] if span_dyn else jnp.int32(r)
 
         trig = left <= 0
         if span:
@@ -440,7 +460,10 @@ def _adaptive_parts(cfg: SimConfig):
                 (posf, velf, mass, accf, orig, supers, bands, tables,
                  rctx, k_env, afmf),
             )
-            refresh = afm_age >= r
+            if span_dyn:
+                # horizon-tied hold limit, recomputed per rebuild
+                r_eff = jnp.where(trig, _r_eff_of(s_new), r_eff)
+            refresh = afm_age >= r_eff
         else:
             (posf, velf, mass, accf, orig, supers, bands, tables,
              rctx), (s_new, k_new) = jax.lax.cond(
@@ -460,9 +483,14 @@ def _adaptive_parts(cfg: SimConfig):
         k_env = k_new
         pos = _v3(posf)
         # midpoint refresh (second-order hold — see make_adaptive_runner):
-        # targets sampled at predicted mid-window positions; moment
+        # targets sampled at QUADRATICALLY predicted mid-window positions
+        # (curvature-corrected by the previous acceleration); moment
         # refreshes keep LIVE source positions
-        pmidf = posf + velf * (0.5 * (r - 1) * cfg.dt)
+        if span_dyn:
+            tau = 0.5 * (r_eff.astype(jnp.float32) - 1.0) * cfg.dt
+        else:
+            tau = 0.5 * (r - 1) * cfg.dt
+        pmidf = posf + velf * tau + accf * (0.5 * tau * tau)
         frozen_fm = lambda args: _flat(
             forces.apply_farmid(_v3(args[0]), args[1], args[2], cfg)
         )
@@ -486,9 +514,12 @@ def _adaptive_parts(cfg: SimConfig):
         st = integ.integrate(
             ParticleState(pos=pos, vel=_v3(velf), mass=mass, acc=a), a, cfg
         )
-        return ((i + 1, left - 1, afm_age, n_rb + trig.astype(jnp.int32),
-                 k_env, afmf, _flat(st.pos), _flat(st.vel), mass,
-                 _flat(a), orig, supers, bands, tables, rctx))
+        out = (i + 1, left - 1, afm_age, n_rb + trig.astype(jnp.int32),
+               k_env, afmf, _flat(st.pos), _flat(st.vel), mass,
+               _flat(a), orig, supers, bands, tables, rctx)
+        if span_dyn:
+            out = out + (r_eff,)
+        return out
 
     def extract(carry, n: int, mass0: jax.Array) -> ParticleState:
         posf, velf, mass, accf, orig = carry[6:11]
@@ -598,6 +629,16 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
                 afmf0 = jnp.zeros_like(posf)
                 age0 = jnp.int32(0)
             t_seg = jnp.minimum(s_valid, n_steps - i)
+            # horizon-tied hold length (cfg.span_age_mult): at the hot
+            # state (s_valid 1-2) the span hold shortens toward per-
+            # rebuild freshness; calm epochs keep the full R.  Static R
+            # when the knob is off.
+            if span and cfg.span_age_mult > 0:
+                r_eff = jnp.clip(cfg.span_age_mult * s_valid, 1, r)
+                tau = 0.5 * (r_eff.astype(jnp.float32) - 1.0) * cfg.dt
+            else:
+                r_eff = jnp.int32(r)
+                tau = 0.5 * (r - 1) * cfg.dt
             # carry-form converters: [N,3] carries when inner3, flat [3N]
             # otherwise (to3: carry -> [N,3]; toc: [N,3] -> carry)
             to3 = (lambda x: x) if inner3 else _v3
@@ -617,11 +658,18 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
                 # secular-heating mechanism once the hold spans rebuilds
                 # (BENCH_r04 drift 0.72% vs the 0.2% gate): at the hot
                 # state the structure rebuilds every 1-2 steps but the
-                # span-held afm stays up to R=8 steps stale.
-                p_mid = pos3 + to3(vel) * (0.5 * (r - 1) * cfg.dt)
+                # span-held afm stays up to R=8 steps stale.  The
+                # prediction is QUADRATIC — curvature-corrected by the
+                # previous step's acceleration: ballistic p + v*tau
+                # overshoots by 0.5*a*tau^2 ≈ several core cell widths
+                # at R=8 (measured: ballistic midpoint drifted 1.24%,
+                # WORSE than first-order's 0.72%).
+                p_mid = (pos3 + to3(vel) * tau
+                         + to3(acc) * (0.5 * tau * tau))
                 # span: the carried afm stays valid across the rebuild
-                # (re-permuted), so only AGE triggers a refresh
-                refresh = (afm_age >= r) if span else (
+                # (re-permuted), so only AGE triggers a refresh (limit
+                # r_eff — horizon-tied when cfg.span_age_mult is set)
+                refresh = (afm_age >= r_eff) if span else (
                     (j == 0) | (afm_age >= r))
                 if cfg.refresh_moments:
                     # j == 0: the rebuild's own tables are live-exact;

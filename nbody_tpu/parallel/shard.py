@@ -670,9 +670,11 @@ def _sharded_cycles_body(pos, vel, mass, acc, orig, cfg: SimConfig,
 
         def subcycle(c2, _):
             p0, v0, a0 = c2
-            # midpoint evaluation (see models/simulation.py): second-order
-            # hold; stays inside the skin-covered drift envelope
-            p_mid = p0 + v0 * (0.5 * (r - 1) * cfg.dt)
+            # QUADRATIC midpoint evaluation (see models/simulation.py):
+            # second-order hold, curvature-corrected by the previous
+            # acceleration; stays inside the skin-covered drift envelope
+            tau = 0.5 * (r - 1) * cfg.dt
+            p_mid = p0 + v0 * tau + a0 * (0.5 * tau * tau)
             afm = _farmid_slab(p_mid, supers, tables, cfg)
 
             def inner(c3, _):
@@ -709,7 +711,11 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
     the frozen cut (_refresh_farmid_slab)."""
     r = max(1, cfg.hold_farmid)
     span = cfg.farmid_span_rebuilds
+    span_dyn = span and cfg.span_age_mult > 0
     moments = cfg.refresh_moments
+
+    def _r_eff_of(s_valid):
+        return jnp.clip(cfg.span_age_mult * s_valid, 1, r).astype(jnp.int32)
 
     built0 = _rebuild_sharded(pos, vel, mass, acc, orig, cfg,
                               cfg.rebuild_every, adaptive=True)
@@ -720,18 +726,24 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
         afm0 = jnp.zeros_like(slab0[0])
         age0 = jnp.int32(r)
     else:
-        # midpoint evaluation (second-order hold -- simulation.py twin)
-        afm0 = _farmid_slab(slab0[0] + slab0[1] * (0.5 * (r - 1) * cfg.dt),
-                            frozen0[0], frozen0[2], cfg)
+        # quadratic midpoint evaluation (second-order hold -- twin of
+        # models/simulation.py)
+        tau0 = 0.5 * (r - 1) * cfg.dt
+        afm0 = _farmid_slab(
+            slab0[0] + slab0[1] * tau0 + slab0[3] * (0.5 * tau0 * tau0),
+            frozen0[0], frozen0[2], cfg)
         age0 = jnp.int32(0)
     carry0 = (jnp.int32(0), s_valid0, age0, jnp.int32(1), k_env0,
               afm0, slab0, frozen0, glob0, rctx0)
+    if span_dyn:
+        carry0 = carry0 + (_r_eff_of(s_valid0),)
 
     def cond_fn(s):
         return s[0] < n_steps
 
     def body(s):
-        i, left, afm_age, n_rb, k_env, afm, slab, frozen, glob, rctx = s
+        i, left, afm_age, n_rb, k_env, afm, slab, frozen, glob, rctx = s[:10]
+        r_eff = s[10] if span_dyn else jnp.int32(r)
 
         trig = left <= 0
 
@@ -755,15 +767,23 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
             (slab, frozen, glob, k_env, afm, rctx),
         )
         left = jnp.where(trig, s_new, left)
+        if span_dyn:
+            # horizon-tied hold limit, recomputed per rebuild
+            r_eff = jnp.where(trig, _r_eff_of(s_new), r_eff)
 
         my_pos, my_vel, my_mass, my_acc, my_orig = slab
         supers, bands, tables = frozen
 
         # span: the carried afm stays valid across rebuilds (re-slabbed
         # by _reslab), so only AGE triggers a refresh -- simulation.py
-        refresh = (afm_age >= r) if span else (trig | (afm_age >= r))
-        # midpoint evaluation (second-order hold -- models/simulation.py)
-        p_mid = my_pos + my_vel * (0.5 * (r - 1) * cfg.dt)
+        refresh = (afm_age >= r_eff) if span else (trig | (afm_age >= r))
+        # quadratic midpoint evaluation (second-order hold, curvature-
+        # corrected -- models/simulation.py)
+        if span_dyn:
+            tau = 0.5 * (r_eff.astype(jnp.float32) - 1.0) * cfg.dt
+        else:
+            tau = 0.5 * (r - 1) * cfg.dt
+        p_mid = my_pos + my_vel * tau + my_acc * (0.5 * tau * tau)
         if moments:
             # trig: this rebuild's own tables are live-exact; later
             # refreshes recompute moments at the frozen cut (sources at
@@ -792,8 +812,11 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
             my_pos, my_vel, my_mass, glob, bands, afm, cfg
         )
         slab = (p2, v2, my_mass, a2, my_orig)
-        return (i + 1, left - 1, afm_age, n_rb + trig.astype(jnp.int32),
-                k_env, afm, slab, frozen, glob, rctx)
+        out = (i + 1, left - 1, afm_age, n_rb + trig.astype(jnp.int32),
+               k_env, afm, slab, frozen, glob, rctx)
+        if span_dyn:
+            out = out + (r_eff,)
+        return out
 
     out = jax.lax.while_loop(cond_fn, body, carry0)
     my_pos, my_vel, my_mass, my_acc, my_orig = out[6]

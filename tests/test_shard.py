@@ -161,10 +161,11 @@ def test_sharded_adaptive_runner_matches_single_device(eight_devices, n_dev):
                                rtol=1e-4, atol=1e-3)
 
 
-@pytest.mark.parametrize("span,moments", [(True, False), (True, True),
-                                          (False, True)])
+@pytest.mark.parametrize("span,moments,mult", [
+    (True, False, 0), (True, True, 0), (False, True, 0), (True, False, 2),
+])
 def test_sharded_adaptive_shipping_integrator_matches(eight_devices, span,
-                                                      moments):
+                                                      moments, mult):
     """The SHIPPING integrator options (BENCH_r05 config) on the sharded
     twin: farmid_span_rebuilds (the held far+mid rides _reslab across
     rebuilds, refreshed by AGE only) and refresh_moments (age refreshes
@@ -179,7 +180,8 @@ def test_sharded_adaptive_shipping_integrator_matches(eight_devices, span,
     cfg = SimConfig(n=64 * 2 * 4, theta=0.5, force_tile=64,
                     use_pallas=False, ic_rng="jax", rebuild_every=4,
                     adaptive_rebuild=True, hold_farmid=2,
-                    farmid_span_rebuilds=span, refresh_moments=moments)
+                    farmid_span_rebuilds=span, refresh_moments=moments,
+                    span_age_mult=mult)
     state = disk_galaxy_jax(cfg.n, seed=5, g=cfg.g)
 
     want, want_rb = jax.jit(

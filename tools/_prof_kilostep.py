@@ -66,3 +66,10 @@ print(f"avg {dp['avg_steps_per_sec']:.2f} steps/s  "
       f"hot {dp['hot_steps_per_sec']:.2f} steps/s  "
       f"({dp['seconds']:.0f}s total)", flush=True)
 print(f"KE = {float(metrics.kinetic_energy(dp['state'])):.4e}", flush=True)
+
+if os.environ.get("KS_SAVE"):
+    # gate runs double as hot-checkpoint makers (tools/_prof_mkhot.py)
+    from nbody_tpu.utils.io import save_checkpoint
+
+    save_checkpoint(os.environ["KS_SAVE"], dp["state"], step=STEPS)
+    print(f"saved hot state -> {os.environ['KS_SAVE']}", flush=True)

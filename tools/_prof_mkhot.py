@@ -19,7 +19,11 @@ n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/hot1m.npz"
 
-cfg = SimConfig(n=n, rebuild_every=16, hold_farmid=8, check_overflow=False)
+from nbody_tpu.config import PRESETS
+
+# the SHIPPING preset (same integrator bench.py runs) so the hot state
+# is exactly the one the driver's 1024-step evolution reaches
+cfg = PRESETS["v5_bench"].replace(n=n, check_overflow=False)
 sim = Simulation(cfg)
 st = jax.device_put(sim.init_state())
 _sync(st)
