@@ -105,6 +105,24 @@ class SimConfig:
                                    # overflow and sent those children to
                                    # exact P2P); every rebuild pays gather
                                    # traffic proportional to this cap
+    no_ss: bool = False            # neutralize the level-3 super-super
+                                   # monopoles: every SS fails its MAC
+                                   # (diam forced huge), so the far
+                                   # field telescopes to SUPER monopoles
+                                   # exactly as in round 3 (the SS far
+                                   # term is cancelled by the anti-SS
+                                   # row).  The SS level's coarse
+                                   # monopoles are the measured dominant
+                                   # secular-cooling bias at the 1M hot
+                                   # core (tools/_prof_fbias.py: drift
+                                   # slope -1.33e-3/128 steps with SS
+                                   # vs -9.1e-4 at tile 256); disabling
+                                   # costs the far sweep O(N*S) instead
+                                   # of O(N*S/8) — ~5 ms per refresh at
+                                   # 1M, the 4M-scaling reason SS
+                                   # exists.  Requires ss_cap >= n_ss
+                                   # (overflow stays graceful: an
+                                   # overflowed SS keeps its monopole)
     use_pallas: bool = True        # Pallas force kernels vs pure-jnp
     rebuild_every: int = 1         # K: rebuild sort/cells/bands every K
                                    # steps; between rebuilds the frozen
@@ -179,6 +197,24 @@ class SimConfig:
                                    # (fixed R).  The kilostep gate
                                    # decides between this and the
                                    # quadratic-midpoint hold
+    hold_predict: int = 0          # how the held far+mid samples target
+                                   # positions at each refresh (r-RESPA
+                                   # hold, tau = 0.5*(R_eff-1)*dt):
+                                   #   0 = at the CURRENT positions
+                                   #       (first-order hold)
+                                   #   1 = ballistic midpoint p + v*tau
+                                   #   2 = quadratic midpoint
+                                   #       p + v*tau + 0.5*a*tau^2
+                                   # Kilostep-measured at the shipped
+                                   # span config (1M, 1024 steps):
+                                   # first-order 0.72%, ballistic 1.24%,
+                                   # quadratic 1.47% — midpoint
+                                   # PREDICTION is actively harmful in
+                                   # the contracted core (the field
+                                   # rotates faster than any per-particle
+                                   # extrapolation), so 0 ships and the
+                                   # hot-state staleness is handled by
+                                   # span_age_mult instead
     refresh_moments: bool = False  # at each far+mid refresh, RECOMPUTE
                                    # all source moments from live
                                    # positions at the frozen cut and
@@ -275,10 +311,21 @@ class SimConfig:
         return -(-self.n // self.force_tile)
 
     @property
+    def win_pieces(self) -> int:
+        """Aligned windows one near-child run can touch: the adaptive
+        cut bounds CELLS at force_tile bodies, and a degenerate octant
+        can put nearly all of them in ONE child, so runs are bounded by
+        force_tile (NOT force_tile/8) — ceil(force_tile/128)+1 windows.
+        The window splitter must emit this many pieces per child or it
+        DROPS interior windows (missing mass — the silent-error class
+        fixed in round 5; see ops/forces._pieces)."""
+        return -(-self.force_tile // 128) + 1
+
+    @property
     def win_cap_eff(self) -> int:
-        """Effective per-target window-slot cap: 2*near_cap (two pieces
-        per child) is the structural maximum, so win_cap clamps to it."""
-        return min(self.win_cap, 2 * self.near_cap)
+        """Effective per-target window-slot cap: win_pieces*near_cap is
+        the structural maximum, so win_cap clamps to it."""
+        return min(self.win_cap, self.win_pieces * self.near_cap)
 
     @property
     def cell_capacity(self) -> int:

@@ -181,18 +181,11 @@ def make_cycle_runner(cfg: SimConfig, n_cycles: int, k: int):
 
         def subcycle(c2, _):
             p0, v0, a0 = c2
-            # midpoint evaluation: the held far+mid force is sampled at
-            # the targets' predicted mid-window positions, making the
-            # hold second-order in R (centered) instead of first-order —
-            # measured to cut the kilostep energy drift substantially.
-            # The prediction is QUADRATIC (curvature-corrected by the
-            # previous step's acceleration): a ballistic p + v*tau
-            # overshoots by 0.5*a*tau^2, which in the contracted core is
-            # several cell widths at R=8 (the measured r5 kilostep
-            # failure mode: ballistic-midpoint drift 1.24% vs the 0.2%
-            # gate) — the a-term is exactly the missing curvature.
+            # held far+mid sampling positions per cfg.hold_predict (the
+            # kilostep gate measured midpoint PREDICTION actively harmful
+            # in the contracted core — config.py rationale)
             tau = 0.5 * (r - 1) * cfg.dt
-            p_mid = p0 + v0 * tau + a0 * (0.5 * tau * tau)
+            p_mid = hold_predict_pos(p0, v0, a0, tau, cfg)
             afm = forces.apply_farmid(p_mid, supers, tables, cfg)
 
             def inner(c3, _):
@@ -318,6 +311,24 @@ def _v3(xf: jax.Array) -> jax.Array:
     return xf.reshape(-1, 3)
 
 
+def hold_predict_pos(pos, vel, acc, tau, cfg: SimConfig):
+    """Target sampling positions for a held far+mid refresh
+    (cfg.hold_predict): current positions (0, first-order hold),
+    ballistic midpoint (1), or quadratic midpoint (2).  Measured at the
+    shipped span config (1M kilostep): 0 is the only policy that does
+    not PUMP energy in the contracted core — the local field rotates
+    faster than any per-particle extrapolation, so midpoint prediction
+    (1.24% ballistic / 1.47% quadratic vs 0.72% first-order) amplifies
+    the staleness error it was meant to center away.  Works on [N,3] or
+    flat [3N] layouts (elementwise).  `tau` may be traced."""
+    if cfg.hold_predict == 0:
+        return pos
+    p = pos + vel * tau
+    if cfg.hold_predict >= 2:
+        p = p + acc * (0.5 * tau * tau)
+    return p
+
+
 def _adaptive_rebuild_fn(cfg: SimConfig):
     """One adaptive band rebuild as a reusable closure: Morton re-sort,
     packed permutation, self-tuned skin envelopes, band build, validity
@@ -433,7 +444,7 @@ def _adaptive_parts(cfg: SimConfig):
         else:
             tau0 = 0.5 * (r0 - 1) * cfg.dt
         afm0 = forces.apply_farmid(
-            _v3(built[0] + built[1] * tau0 + built[3] * (0.5 * tau0 * tau0)),
+            _v3(hold_predict_pos(built[0], built[1], built[3], tau0, cfg)),
             built[5], built[7], cfg,
         )
         carry = (jnp.int32(0), s_valid, jnp.int32(0), jnp.int32(1),
@@ -482,15 +493,14 @@ def _adaptive_parts(cfg: SimConfig):
         left = jnp.where(trig, s_new, left)
         k_env = k_new
         pos = _v3(posf)
-        # midpoint refresh (second-order hold — see make_adaptive_runner):
-        # targets sampled at QUADRATICALLY predicted mid-window positions
-        # (curvature-corrected by the previous acceleration); moment
-        # refreshes keep LIVE source positions
+        # held-refresh target sampling per cfg.hold_predict (shipping: the
+        # CURRENT positions — prediction measured harmful, config.py);
+        # moment refreshes keep LIVE source positions
         if span_dyn:
             tau = 0.5 * (r_eff.astype(jnp.float32) - 1.0) * cfg.dt
         else:
             tau = 0.5 * (r - 1) * cfg.dt
-        pmidf = posf + velf * tau + accf * (0.5 * tau * tau)
+        pmidf = hold_predict_pos(posf, velf, accf, tau, cfg)
         frozen_fm = lambda args: _flat(
             forces.apply_farmid(_v3(args[0]), args[1], args[2], cfg)
         )
@@ -650,22 +660,16 @@ def make_adaptive_runner(cfg: SimConfig, n_steps: int,
             def inner_body(c):
                 j, afm_age, afm, pos, vel, acc = c
                 pos3 = to3(pos)
-                # MIDPOINT refresh (second-order hold, as in the fixed-K
-                # cycle runner): the held far+mid is sampled at the
-                # targets' predicted mid-window positions, so a rotating
-                # dense core sees a centered — not trailing — force over
-                # the R-step hold.  The first-order hold is the measured
-                # secular-heating mechanism once the hold spans rebuilds
-                # (BENCH_r04 drift 0.72% vs the 0.2% gate): at the hot
-                # state the structure rebuilds every 1-2 steps but the
-                # span-held afm stays up to R=8 steps stale.  The
-                # prediction is QUADRATIC — curvature-corrected by the
-                # previous step's acceleration: ballistic p + v*tau
-                # overshoots by 0.5*a*tau^2 ≈ several core cell widths
-                # at R=8 (measured: ballistic midpoint drifted 1.24%,
-                # WORSE than first-order's 0.72%).
-                p_mid = (pos3 + to3(vel) * tau
-                         + to3(acc) * (0.5 * tau * tau))
+                # held-refresh target sampling per cfg.hold_predict.  The
+                # r4 regression mechanism was span-hold STALENESS at the
+                # hot state (structure rebuilds every 1-2 steps, the
+                # span-held afm stays up to R=8 steps stale -> 0.72%
+                # drift); midpoint prediction made it WORSE (ballistic
+                # 1.24%, quadratic 1.47% — the core field rotates faster
+                # than per-particle extrapolation), so the fix is
+                # span_age_mult (staleness tied to the horizon), not
+                # prediction (hold_predict_pos rationale).
+                p_mid = hold_predict_pos(pos3, to3(vel), to3(acc), tau, cfg)
                 # span: the carried afm stays valid across the rebuild
                 # (re-permuted), so only AGE triggers a refresh (limit
                 # r_eff — horizon-tied when cfg.span_age_mult is set)

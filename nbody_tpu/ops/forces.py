@@ -390,6 +390,19 @@ def make_supersupers(supers: Supers) -> Supers:
     )
 
 
+def make_ss(supers: Supers, cfg: SimConfig) -> Supers:
+    """The far sweep's top source level: super-supers, or — with
+    cfg.no_ss — the same aggregates with diam forced huge so every live
+    SS fails its MAC and telescopes to its member supers (the anti-SS
+    row cancels the far-sweep SS term; round-3 far-field semantics).
+    Single entry for every build/refresh path so the single-chip and
+    sharded twins stay in lockstep."""
+    ss = make_supersupers(supers)
+    if cfg.no_ss:
+        ss = ss._replace(diam=jnp.where(ss.gmass > 0, 3.0e38, ss.diam))
+    return ss
+
+
 class CellBands(NamedTuple):
     """Per-target source classification over the adaptive cell hierarchy.
 
@@ -456,53 +469,77 @@ def _lowmask(k):
     return jnp.where(k >= 32, jnp.int32(-1), shifted)
 
 
-def _window_masks_dense(first, count, win_cap: int):
+def _pieces(f, cnt, p, big):
+    """P aligned pieces per run: piece j holds window (f//128 + j)'s
+    overlap with [f, f+cnt), as (window key, 4 lane-mask words).
+
+    A run of `cnt` particles starting at offset off = f mod 128 touches
+    ceil((off+cnt)/128) <= ceil(cnt_max/128)+1 consecutive windows, so a
+    caller must size p = ceil(run_max/SPAN_ALIGN)+1 (SimConfig.
+    win_pieces for near children, whose runs are bounded by force_tile —
+    NOT force_tile/8: the adaptive cut bounds CELLS at force_tile
+    bodies, and a degenerate octant can put nearly all of them in ONE
+    child.  The original 2-piece splitter silently dropped the interior
+    windows of such children — missing mass, the one error class the
+    band design promises never to produce; measured at the 1M hot state
+    as a theta-INDEPENDENT ~3% halo force error and a -0.13%/128-step
+    secular cooling, tools/_prof_fbias*.py).
+
+    Dead pieces (j past the run's last window) carry the run's LAST live
+    window key with an all-zero mask, so for ascending disjoint runs the
+    flattened [r, p*K] key sequence stays NON-DECREASING — the property
+    the adjacent-dedup segmented-OR merge in both _window_masks variants
+    relies on.  Dead runs (cnt == 0) key `big`.
+    """
+    r, k = f.shape
+    w = f // SPAN_ALIGN
+    off = lax.rem(f, SPAN_ALIGN)
+    end = off + cnt                       # run end in window-local coords
+    n_live = lax.div(end + SPAN_ALIGN - 1, jnp.int32(SPAN_ALIGN))
+    key_last = w + jnp.maximum(n_live - 1, 0)
+    keys = []
+    words = [[] for _ in range(4)]
+    for j in range(p):
+        live_j = (cnt > 0) & (end > SPAN_ALIGN * j)
+        kj = jnp.where(live_j, w + j,
+                       jnp.where(cnt > 0, key_last, big))
+        s_j = jnp.maximum(off - SPAN_ALIGN * j, 0)
+        e_j = jnp.minimum(end - SPAN_ALIGN * j, SPAN_ALIGN)
+        keys.append(kj)
+        for m in range(4):
+            words[m].append(jnp.where(
+                live_j, _lowmask(e_j - 32 * m) & ~_lowmask(s_j - 32 * m), 0
+            ))
+    key = jnp.stack(keys, axis=-1).reshape(r, p * k)
+    ms = tuple(jnp.stack(wl, axis=-1).reshape(r, p * k) for wl in words)
+    return key, ms
+
+
+def _window_masks_dense(first, count, win_cap: int, pieces: int = 2):
     """Full-width reference implementation of _window_masks (see there
     for the contract).  Kept as the equivalence oracle for the sliced
-    production version: it processes all 2K piece positions
+    production version: it processes all pieces*K piece positions
     unconditionally, which measured 63 ms/rebuild at 1M (the 5-operand
     segmented-OR scan over [C, 2*near_cap] — tools/_prof_classify.py
     "winscan") against a mean live width of ~250.
     """
     big = jnp.iinfo(jnp.int32).max // 2 * 2
-    w = first // SPAN_ALIGN
-    off = lax.rem(first, SPAN_ALIGN)
-    c1 = jnp.minimum(count, SPAN_ALIGN - off)
-    c2 = count - c1
-    live1 = count > 0
-    live2 = c2 > 0
-    key1 = jnp.where(live1, w, big)
-    # dead piece 2 duplicates its run's window with an all-zero mask so
-    # the interleaved sequence stays non-decreasing
-    key2 = jnp.where(live2, w + 1, key1)
-    end1 = off + c1
-    words1 = tuple(
-        jnp.where(live1, _lowmask(end1 - 32 * j) & ~_lowmask(off - 32 * j), 0)
-        for j in range(4)
-    )
-    words2 = tuple(jnp.where(live2, _lowmask(c2 - 32 * j), 0) for j in range(4))
-
+    p = pieces
     r = first.shape[0]
-    k = first.shape[1]
-
-    def inter(a, b):
-        return jnp.stack([a, b], axis=-1).reshape(r, -1)
-
-    key = inter(key1, key2)                                   # [R, 2K]
-    m0, m1, m2, m3 = (inter(a, b) for a, b in zip(words1, words2))
+    key, (m0, m1, m2, m3) = _pieces(first, count, p, big)     # [R, pK]
     bnd = jnp.concatenate(
         [jnp.ones_like(key[:, :1], bool), key[:, 1:] != key[:, :-1]], axis=1
     )
     # rank of each piece's window = index of its run (keys non-decreasing
     # => runs are distinct windows in order); ranks only need the keys,
     # so the win-cap child drop zeroes masks BEFORE the OR merge
-    rank = jnp.cumsum(bnd.astype(_I32), axis=1) - 1           # [R, 2K]
-    child_rank = rank[:, 1::2]                                # last piece of child i
+    rank = jnp.cumsum(bnd.astype(_I32), axis=1) - 1           # [R, pK]
+    child_rank = rank[:, p - 1::p]                            # last piece of child i
     child_live = count > 0
     child_drop = child_live & (child_rank >= win_cap)
     kept_children = jnp.sum((child_live & ~child_drop).astype(_I32), axis=1)
     dropped = jnp.any(child_drop, axis=1)
-    drop_pos = jnp.repeat(child_drop, 2, axis=1)              # [R, 2K]
+    drop_pos = jnp.repeat(child_drop, p, axis=1)              # [R, pK]
     m0, m1, m2, m3 = (jnp.where(drop_pos, 0, m) for m in (m0, m1, m2, m3))
 
     # segmented OR over equal-adjacent keys; the run's LAST entry
@@ -540,9 +577,13 @@ def _window_masks_dense(first, count, win_cap: int):
 _WIN_SLICE_W = 512
 
 
-def _window_masks(first, count, win_cap: int):
+def _window_masks(first, count, win_cap: int, pieces: int = 2):
     """Convert near-child runs to deduplicated (aligned window, 128-bit
     mask) pairs, capped at win_cap DISTINCT windows per row.
+
+    `pieces` bounds the windows one run can touch: ceil(run_max/128)+1
+    (SimConfig.win_pieces — near-child runs are bounded by force_tile,
+    see _pieces; 2 covers runs <= 128 only).
 
     first, count: [R, K] int32 child runs in ASCENDING, DISJOINT particle
     order (live-prefix packed; pad entries count == 0 at the end) — the
@@ -582,14 +623,16 @@ def _window_masks(first, count, win_cap: int):
     FREE in situ (XLA fuses it — winsort vs winscan in the profiler).
     """
     big = jnp.iinfo(jnp.int32).max // 2 * 2
+    p = pieces
     r, k = first.shape
-    cw = _WIN_SLICE_W // 2                  # children per slice
+    cw = max(1, _WIN_SLICE_W // p)          # children per slice
+    sw = cw * p                             # piece positions per slice
     k_pad = -(-k // cw) * cw
     if k_pad != k:
         first = jnp.pad(first, ((0, 0), (0, k_pad - k)))
         count = jnp.pad(count, ((0, 0), (0, k_pad - k)))
     n_slices = k_pad // cw
-    w_out = n_slices * _WIN_SLICE_W + 1     # +1: final-carry flush slot
+    w_out = n_slices * sw + 1               # +1: final-carry flush slot
     # rightmost live child (robust even if liveness were not a prefix)
     child_pos = jnp.arange(k_pad, dtype=_I32)[None, :]
     last_live = jnp.max(jnp.where(count > 0, child_pos + 1, 0))
@@ -607,39 +650,18 @@ def _window_masks(first, count, win_cap: int):
          pkey, p0, p1, p2, p3, prank, kept, drop) = c
         f = lax.dynamic_slice(first, (0, s * cw), (r, cw))
         cnt = lax.dynamic_slice(count, (0, s * cw), (r, cw))
-        w = f // SPAN_ALIGN
-        off = lax.rem(f, SPAN_ALIGN)
-        c1 = jnp.minimum(cnt, SPAN_ALIGN - off)
-        c2 = cnt - c1
-        live1 = cnt > 0
-        live2 = c2 > 0
-        key1 = jnp.where(live1, w, big)
-        key2 = jnp.where(live2, w + 1, key1)
-        end1 = off + c1
-        words1 = tuple(
-            jnp.where(live1,
-                      _lowmask(end1 - 32 * j) & ~_lowmask(off - 32 * j), 0)
-            for j in range(4)
-        )
-        words2 = tuple(
-            jnp.where(live2, _lowmask(c2 - 32 * j), 0) for j in range(4)
-        )
-
-        def inter(a, b):
-            return jnp.stack([a, b], axis=-1).reshape(r, -1)
-
-        key = inter(key1, key2)             # [r, SLICE_W]
-        m = [inter(a, b) for a, b in zip(words1, words2)]
+        key, m = _pieces(f, cnt, p, big)    # [r, sw]
+        m = list(m)
         bnd = jnp.concatenate(
             [key[:, :1] != pkey[:, None], key[:, 1:] != key[:, :-1]], axis=1
         )
         rank = prank[:, None] + jnp.cumsum(bnd.astype(_I32), axis=1)
-        child_rank = rank[:, 1::2]
+        child_rank = rank[:, p - 1::p]
         child_live = cnt > 0
         child_drop = child_live & (child_rank >= win_cap)
         kept = kept + jnp.sum((child_live & ~child_drop).astype(_I32), axis=1)
         drop = drop | jnp.any(child_drop, axis=1)
-        drop_pos = jnp.repeat(child_drop, 2, axis=1)
+        drop_pos = jnp.repeat(child_drop, p, axis=1)
         m = [jnp.where(drop_pos, 0, x) for x in m]
         # the open carry window continues into position 0 when keys match
         cont = ~bnd[:, :1]
@@ -675,7 +697,7 @@ def _window_masks(first, count, win_cap: int):
         blk_key = jnp.concatenate([emit0[:, None], keep], axis=1)
         blk = [jnp.concatenate([p[:, None], a], axis=1)
                for p, a in zip((p0, p1, p2, p3), (a0, a1, a2, a3))]
-        col = s * _WIN_SLICE_W
+        col = s * sw
         okey = lax.dynamic_update_slice(okey, blk_key, (0, col))
         o0 = lax.dynamic_update_slice(o0, blk[0], (0, col))
         o1 = lax.dynamic_update_slice(o1, blk[1], (0, col))
@@ -705,7 +727,7 @@ def _window_masks(first, count, win_cap: int):
     fk = jnp.where(
         (pkey >= 0) & (pkey < big) & (prank < win_cap), pkey, big
     )
-    col = s_done * _WIN_SLICE_W
+    col = s_done * sw
     okey = lax.dynamic_update_slice(okey, fk[:, None], (0, col))
     o0 = lax.dynamic_update_slice(o0, p0[:, None], (0, col))
     o1 = lax.dynamic_update_slice(o1, p1[:, None], (0, col))
@@ -713,7 +735,7 @@ def _window_masks(first, count, win_cap: int):
     o3 = lax.dynamic_update_slice(o3, p3[:, None], (0, col))
     okey, o0, o1, o2, o3 = lax.sort((okey, o0, o1, o2, o3), dimension=1,
                                     num_keys=1)
-    out_cap = min(win_cap, 2 * k)   # match the dense version's width
+    out_cap = min(win_cap, p * k)   # match the dense version's width
     okey, o0, o1, o2, o3 = (x[:, :out_cap] for x in (okey, o0, o1, o2, o3))
     live = okey < big
     win_first = jnp.where(live, okey * SPAN_ALIGN, 0)
@@ -1019,7 +1041,9 @@ def cell_band_lists(
         ni_safe = jnp.minimum(ni, k_cap)
         fc = fc_flat[ni_safe]                              # [C, near_cap, 2]
         sf, scnt = fc[..., 0], fc[..., 1]
-        wf, wm, win_cnt, kept, dropped = _window_masks(sf, scnt, cfg.win_cap_eff)
+        wf, wm, win_cnt, kept, dropped = _window_masks(
+            sf, scnt, cfg.win_cap_eff, pieces=cfg.win_pieces
+        )
         nc_k = jnp.minimum(jnp.minimum(nc, near_cap), kept)
         lane_n = jnp.arange(near_cap, dtype=_I32)[None, :]
         ni_safe = jnp.where(lane_n < nc_k[:, None], ni_safe, k_cap)
@@ -1397,7 +1421,7 @@ def build_bands(
         drift_sorted=drift, g2_factor=cfg.g2_cap_factor,
     )
     supers = make_supers(cells)
-    ss = make_supersupers(supers)
+    ss = make_ss(supers, cfg)
     tgt_subs = target_subspheres(pos_s, b, drift=drift, codes=codes_s)
     bands = cell_band_lists(tgt_subs, ss, supers, cells, cfg, skin=skin)
     tables = build_cell_tables(cells, supers, ss, bands)
@@ -1442,7 +1466,7 @@ def refresh_farmid(
         g2_factor=cfg.g2_cap_factor,
     )
     supers_r = make_supers(cells_r)
-    ss_r = make_supersupers(supers_r)
+    ss_r = make_ss(supers_r, cfg)
     tables_r = build_cell_tables(cells_r, supers_r, ss_r, bands)
     if tgt_pos is None:
         tgt_pos = pos_live

@@ -66,6 +66,7 @@ from nbody_tpu.state import ParticleState
 from nbody_tpu.ops import bbox, morton, forces, integrate as integ
 from nbody_tpu.models.simulation import (
     sort_by_morton, drift_bound, adaptive_drift, validity_horizon,
+    hold_predict_pos,
 )
 
 AXIS = "bodies"
@@ -224,7 +225,7 @@ def _classify_slab(pos_s, mass_s, codes_s, cfg: SimConfig, drift=None):
         codes_s, pos_s, mass_s, cfg, box_lo, box_size, drift=drift
     )
     supers = forces.make_supers(cells)
-    ss = forces.make_supersupers(supers)
+    ss = forces.make_ss(supers, cfg)
 
     my_pos = jax.lax.dynamic_slice_in_dim(pos_s, start, m, 0)
     my_drift = (
@@ -607,7 +608,7 @@ def _refresh_farmid_slab(p_mid, my_pos_live, mass_s, rctx, bands, cfg):
         codes_s, pos_live, mass_s, cfg, box_lo, box_size, drift=drift
     )
     supers_r = forces.make_supers(cells_r)
-    ss_r = forces.make_supersupers(supers_r)
+    ss_r = forces.make_ss(supers_r, cfg)
     tables_r = forces.build_cell_tables(cells_r, supers_r, ss_r, bands)
     return forces.apply_farmid(p_mid, ss_r, tables_r, cfg)
 
@@ -670,11 +671,10 @@ def _sharded_cycles_body(pos, vel, mass, acc, orig, cfg: SimConfig,
 
         def subcycle(c2, _):
             p0, v0, a0 = c2
-            # QUADRATIC midpoint evaluation (see models/simulation.py):
-            # second-order hold, curvature-corrected by the previous
-            # acceleration; stays inside the skin-covered drift envelope
+            # held-refresh target sampling per cfg.hold_predict (twin of
+            # models/simulation.py hold_predict_pos)
             tau = 0.5 * (r - 1) * cfg.dt
-            p_mid = p0 + v0 * tau + a0 * (0.5 * tau * tau)
+            p_mid = hold_predict_pos(p0, v0, a0, tau, cfg)
             afm = _farmid_slab(p_mid, supers, tables, cfg)
 
             def inner(c3, _):
@@ -726,11 +726,10 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
         afm0 = jnp.zeros_like(slab0[0])
         age0 = jnp.int32(r)
     else:
-        # quadratic midpoint evaluation (second-order hold -- twin of
-        # models/simulation.py)
+        # held-refresh target sampling (twin of models/simulation.py)
         tau0 = 0.5 * (r - 1) * cfg.dt
         afm0 = _farmid_slab(
-            slab0[0] + slab0[1] * tau0 + slab0[3] * (0.5 * tau0 * tau0),
+            hold_predict_pos(slab0[0], slab0[1], slab0[3], tau0, cfg),
             frozen0[0], frozen0[2], cfg)
         age0 = jnp.int32(0)
     carry0 = (jnp.int32(0), s_valid0, age0, jnp.int32(1), k_env0,
@@ -777,13 +776,13 @@ def _sharded_adaptive_body(pos, vel, mass, acc, orig, cfg: SimConfig,
         # span: the carried afm stays valid across rebuilds (re-slabbed
         # by _reslab), so only AGE triggers a refresh -- simulation.py
         refresh = (afm_age >= r_eff) if span else (trig | (afm_age >= r))
-        # quadratic midpoint evaluation (second-order hold, curvature-
-        # corrected -- models/simulation.py)
+        # held-refresh target sampling per cfg.hold_predict (twin of
+        # models/simulation.py hold_predict_pos)
         if span_dyn:
             tau = 0.5 * (r_eff.astype(jnp.float32) - 1.0) * cfg.dt
         else:
             tau = 0.5 * (r - 1) * cfg.dt
-        p_mid = my_pos + my_vel * tau + my_acc * (0.5 * tau * tau)
+        p_mid = hold_predict_pos(my_pos, my_vel, my_acc, tau, cfg)
         if moments:
             # trig: this rebuild's own tables are live-exact; later
             # refreshes recompute moments at the frozen cut (sources at

@@ -584,21 +584,163 @@ def test_window_masks_sliced_matches_dense():
         h = live // 2
         first[1, :h] = np.asarray(fi[:h], np.int32) + 3 * SPAN_ALIGN
         count[1, :h] = ci[:h]
-        a = jax.jit(lambda f, c: _window_masks(f, c, cap))(
+        # pieces must cover the longest run (the production caller sizes
+        # it from force_tile: SimConfig.win_pieces)
+        pieces = max(2, int(-(-max(ci, default=1) // SPAN_ALIGN)) + 1)
+        a = jax.jit(lambda f, c: _window_masks(f, c, cap, pieces=pieces))(
             jnp.asarray(first), jnp.asarray(count))
-        b = jax.jit(lambda f, c: _window_masks_dense(f, c, cap))(
-            jnp.asarray(first), jnp.asarray(count))
+        b = jax.jit(
+            lambda f, c: _window_masks_dense(f, c, cap, pieces=pieces)
+        )(jnp.asarray(first), jnp.asarray(count))
         for x, y, name in zip(a, b, ["win_first", "win_mask", "win_cnt",
                                      "kept", "dropped"]):
             np.testing.assert_array_equal(
                 np.asarray(x), np.asarray(y), err_msg=f"{name} cap={cap}")
 
 
+def _windows_oracle(firsts, counts, cap):
+    """Brute-force twin of the production window-splitter semantics:
+    every run claims its touched windows in ascending rank order; the
+    first `cap` DISTINCT windows are emitted; a child whose LAST window
+    rank >= cap is dropped (its lane contributions removed everywhere —
+    suffix drop), but any window slot its earlier pieces newly opened
+    below the cap still appears (zero-masked — matching the splitter,
+    whose ranks come from the key sequence before mask zeroing)."""
+    from nbody_tpu.ops.forces import SPAN_ALIGN
+
+    order = []                       # distinct windows, rank order
+    rank_of = {}
+    spans = []                       # (child, windows touched)
+    for f, c in zip(firsts, counts):
+        if c == 0:
+            continue
+        touched = list(range(f // SPAN_ALIGN, (f + c - 1) // SPAN_ALIGN + 1))
+        for w in touched:
+            if w not in rank_of:
+                rank_of[w] = len(order)
+                order.append(w)
+        spans.append((f, c, touched))
+    kept = 0
+    dropped = False
+    wins = {w: np.zeros(128, bool) for w in order[:cap]}
+    for f, c, touched in spans:
+        if rank_of[touched[-1]] >= cap:
+            dropped = True
+            continue
+        kept += 1
+        for w in touched:
+            s = max(f, w * SPAN_ALIGN) - w * SPAN_ALIGN
+            e = min(f + c, (w + 1) * SPAN_ALIGN) - w * SPAN_ALIGN
+            wins[w][s:e] = True
+    emit = order[:cap]
+    masks = np.zeros((4, len(emit)), np.int32)
+    for i, w in enumerate(emit):
+        bits = wins[w]
+        for m in range(4):
+            word = 0
+            for b in range(32):
+                if bits[32 * m + b]:
+                    word |= 1 << b
+            masks[m, i] = np.int32(np.uint32(word).astype(np.int32))
+    return (np.asarray([w * SPAN_ALIGN for w in emit], np.int32), masks,
+            len(emit), kept, dropped)
+
+
+def test_window_masks_big_children_cover_all_lanes():
+    """REGRESSION (round-5 physics bug): a near child is bounded by
+    force_tile — NOT force_tile/8 — because the adaptive cut caps CELLS,
+    and one octant can hold nearly the whole cell.  A 481-particle child
+    at tile 512 touches 5 aligned windows; the old 2-piece splitter
+    silently dropped the interior ones (missing mass -> the measured
+    theta-independent ~3% halo force error and secular cooling at 1M,
+    tools/_prof_fbias*.py).  Checks the sliced production splitter
+    against a brute-force lane-coverage oracle, big runs included."""
+    from nbody_tpu.ops.forces import SPAN_ALIGN, _window_masks
+
+    rng = np.random.default_rng(11)
+    for pieces, max_len in ((3, 2 * SPAN_ALIGN), (5, 4 * SPAN_ALIGN)):
+        firsts, counts = [], []
+        cur = int(rng.integers(0, 200))
+        for _ in range(40):
+            cur += int(rng.integers(0, 2 * SPAN_ALIGN))
+            c = int(rng.integers(1, max_len + 1))   # many runs > 128
+            firsts.append(cur)
+            counts.append(c)
+            cur += c
+        for cap in (10**9, 23):
+            k_cap = 64
+            first = np.zeros((1, k_cap), np.int32)
+            count = np.zeros((1, k_cap), np.int32)
+            first[0, :40] = firsts
+            count[0, :40] = counts
+            wf, wm, wc, kept, dropped = jax.jit(
+                lambda f, c: _window_masks(f, c, cap, pieces=pieces)
+            )(jnp.asarray(first), jnp.asarray(count))
+            owf, owm, own, okept, odrop = _windows_oracle(
+                firsts, counts, cap)
+            wc0 = int(np.asarray(wc)[0])
+            assert wc0 == own
+            np.testing.assert_array_equal(np.asarray(wf)[0, :wc0], owf)
+            np.testing.assert_array_equal(
+                np.asarray(wm)[0, :, :wc0], owm)
+            assert int(np.asarray(kept)[0]) == okept
+            assert bool(np.asarray(dropped)[0]) == odrop
+
+
+def test_near_band_window_mass_conservation_tile512():
+    """End-to-end reproducer of the round-5 missing-mass bug: at the
+    DISK-GALAXY IC (degenerate octants in the dense center) with
+    force_tile=512, every target's window-masked lane masses must sum to
+    exactly its near children's masses — the telescoping identity the
+    anti-child rows rely on."""
+    from nbody_tpu.config import PRESETS
+    from nbody_tpu.init import make_initial_state
+    from nbody_tpu.models.simulation import sort_by_morton
+
+    n = 20_000
+    cfg = PRESETS["v5_bench"].replace(n=n, use_pallas=False,
+                                      check_overflow=False)
+    st = make_initial_state(cfg)
+    sc, perm, _, _ = sort_by_morton(st.pos, cfg)
+    ps, ms, cs = forces.pad_sorted(st.pos[perm], st.mass[perm], sc,
+                                   cfg.force_tile)
+    cells, ss, bands, tables = jax.jit(
+        lambda p, m, c: forces.build_bands(p, m, c, cfg))(ps, ms, cs)
+    mass_np = np.asarray(ms, np.float64)
+    child_gm = np.asarray(cells.child_gmass, np.float64).reshape(-1)
+    near_idx = np.asarray(bands.near_idx)
+    near_cnt = np.asarray(bands.near_cnt)
+    wf = np.asarray(bands.win_first)
+    wm = np.asarray(bands.win_mask).view(np.uint32)
+    wc = np.asarray(bands.win_cnt)
+    g = float(cfg.g)
+    t_count = wf.shape[0]
+    assert np.any(np.asarray(cells.child_count) > 128), \
+        "fixture no longer produces >128-particle children"
+    for t in range(t_count):
+        m_children = child_gm[near_idx[t, :near_cnt[t]]].sum() / g
+        m_wins = 0.0
+        for w in range(wc[t]):
+            lanes = np.zeros(128, bool)
+            for word in range(4):
+                bits = int(wm[t, word, w])
+                for b in range(32):
+                    if (bits >> b) & 1:
+                        lanes[32 * word + b] = True
+            idx = wf[t, w] + np.nonzero(lanes)[0]
+            m_wins += mass_np[idx].sum()
+        # tolerance separates fp32 child_gmass rounding (measured up to
+        # ~1.2e-5 rel on a 481-particle child) from a dropped/extra
+        # particle (mass >= 2, >= 1.5e-3 rel at these target masses)
+        assert abs(m_wins - m_children) <= 1e-4 * max(m_children, 1.0), (
+            t, m_children, m_wins)
+
+
 def test_grouped_forces_at_force_tile_512():
-    """The 4M-tuned presets run force_tile=512 (PERF.md '4M retune'):
+    """The shipping presets run force_tile=512 (PERF.md '4M retune'):
     the band decomposition must stay exact-within-theta there too —
-    child runs are 64 particles (still <= the 2-window split invariant)
-    and the near/window machinery sees a different granularity."""
+    near-child runs can reach force_tile particles (SimConfig.win_pieces
+    rationale) and the window machinery sees a different granularity."""
     pos, mass = _cloud(6000, seed=3)
     cfg = SimConfig(n=6000, theta=0.5, force_tile=512, use_pallas=False,
                     check_overflow=False)
