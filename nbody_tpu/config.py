@@ -369,18 +369,26 @@ PRESETS = {
     # nbody_v5 interactive (nbody_v5.cu:34).  Same shipping knobs as the
     # gated bench config below.
     "v5": SimConfig(n=500_000, rebuild_every=16, hold_farmid=8,
-                    force_tile=512, farmid_span_rebuilds=True),
+                    force_tile=512, farmid_span_rebuilds=True,
+                    span_age_mult=1, no_ss=True),
     # nbody_v5_bench at README/binary N (README.md:23) — THE shipping
     # config: what bench.py runs (it reads this preset), what the
     # kilostep gate (tools/_prof_kilostep.py) certifies, and what
     # README/PERF quote.  Adaptive envelope-triggered rebuilds with a
-    # K=16 horizon; far+mid held R=8 steps (r-RESPA), held accel
-    # carried ACROSS rebuilds (span) and midpoint-sampled (second-order
-    # hold); force_tile=512 (PERF.md round-4: beats 256 at both
-    # epochs).  Kilostep-gated at 1024 steps via metrics.drift_protocol
-    # — the SAME protocol bench.py reports (round-4 verdict items 1/8/9).
+    # K=16 horizon; far+mid held R=8 steps (r-RESPA) and carried ACROSS
+    # rebuilds (span) with the hold age tied to the validity horizon
+    # (span_age_mult=1: full R=8 hold in calm epochs, per-step-fresh in
+    # the hot core); held refresh samples CURRENT positions
+    # (hold_predict=0 — midpoint prediction measured harmful); SS
+    # monopoles neutralized (no_ss: the level-3 far field was the
+    # second-largest secular-bias term); force_tile=512 (PERF.md
+    # round-4: beats 256 at both epochs).  Kilostep-gated at 1024 steps
+    # via metrics.drift_protocol — the SAME protocol bench.py reports:
+    # drift_1024 = 0.00173 vs the 0.002 criterion (round 5, after the
+    # window-mass fix).
     "v5_bench": SimConfig(n=1_000_000, rebuild_every=16, hold_farmid=8,
-                          force_tile=512, farmid_span_rebuilds=True),
+                          force_tile=512, farmid_span_rebuilds=True,
+                          span_age_mult=1, no_ss=True),
     # BASELINE config 2.
     "bh_100k": SimConfig(n=100_000, rebuild_every=16, hold_farmid=8),
     # BASELINE config 5's workload on ONE chip, 4M-tuned (PERF.md "4M

@@ -161,11 +161,14 @@ def test_sharded_adaptive_runner_matches_single_device(eight_devices, n_dev):
                                rtol=1e-4, atol=1e-3)
 
 
-@pytest.mark.parametrize("span,moments,mult", [
-    (True, False, 0), (True, True, 0), (False, True, 0), (True, False, 2),
+@pytest.mark.parametrize("span,moments,mult,noss", [
+    (True, False, 0, False), (True, True, 0, False), (False, True, 0, False),
+    (True, False, 2, False),
+    # the round-5 shipping tuple: span + horizon-tied hold + no_ss
+    (True, False, 1, True),
 ])
 def test_sharded_adaptive_shipping_integrator_matches(eight_devices, span,
-                                                      moments, mult):
+                                                      moments, mult, noss):
     """The SHIPPING integrator options (BENCH_r05 config) on the sharded
     twin: farmid_span_rebuilds (the held far+mid rides _reslab across
     rebuilds, refreshed by AGE only) and refresh_moments (age refreshes
@@ -181,7 +184,7 @@ def test_sharded_adaptive_shipping_integrator_matches(eight_devices, span,
                     use_pallas=False, ic_rng="jax", rebuild_every=4,
                     adaptive_rebuild=True, hold_farmid=2,
                     farmid_span_rebuilds=span, refresh_moments=moments,
-                    span_age_mult=mult)
+                    span_age_mult=mult, no_ss=noss)
     state = disk_galaxy_jax(cfg.n, seed=5, g=cfg.g)
 
     want, want_rb = jax.jit(
